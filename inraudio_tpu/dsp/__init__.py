@@ -1,0 +1,15 @@
+from .windows import sine_window, hann_window, kbd_window, rect_window
+from .mdct import mdct, imdct, stmdct, istmdct, num_stmdct_frames
+from .snr import calculate_snr
+from .filters import butter_coeffs, lfilter, filtfilt, hpfilter, lpfilter
+from .stft import stft_magnitude, frame_signal
+from .psycho import thresh_quiet, intensity, hearing_threshold_mask
+
+__all__ = [
+    "sine_window", "hann_window", "kbd_window", "rect_window",
+    "mdct", "imdct", "stmdct", "istmdct", "num_stmdct_frames",
+    "calculate_snr",
+    "butter_coeffs", "lfilter", "filtfilt", "hpfilter", "lpfilter",
+    "stft_magnitude", "frame_signal",
+    "thresh_quiet", "intensity", "hearing_threshold_mask",
+]

@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags BEFORE jax is imported anywhere, so this conftest performs
+the environment setup at import time (pytest imports conftest first).
+Multi-chip sharding logic is validated against these 8 fake devices
+(equivalent to SURVEY.md section 4 item 5); real-TPU benchmarking happens in
+bench.py, not in the test suite.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force override: the session presets JAX_PLATFORMS=axon (TPU)
+
+# jax is already imported at interpreter startup by the image's sitecustomize,
+# so JAX_ENABLE_X64 via env is too late — use the runtime config switch.
+# (Backends initialise lazily, so JAX_PLATFORMS=cpu above still takes effect.)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # float64 for DSP-parity tests; library code is dtype-explicit float32
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_WAV = "/root/reference/gt_bach.wav"

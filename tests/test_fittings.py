@@ -1,0 +1,71 @@
+import numpy as np
+import pytest
+
+from inraudio_tpu.data import (
+    fft_fitting,
+    mdct_fitting,
+    waveform_fitting,
+    waveform_fitting_from_array,
+)
+from tests.conftest import REFERENCE_WAV
+
+
+def test_waveform_fitting_gt_bach():
+    p = waveform_fitting(REFERENCE_WAV, duration=2)
+    assert p.sample_rate == 44100
+    assert p.num_samples == 2 * 44100
+    assert p.coords.shape == (p.num_samples, 1)
+    assert p.targets.shape == (p.num_samples, 1)
+    assert np.max(np.abs(p.targets)) == pytest.approx(1.0)
+    assert p.coords[0, 0] == -1.0 and p.coords[-1, 0] == 1.0
+
+
+def test_waveform_fitting_decimation():
+    p = waveform_fitting(REFERENCE_WAV, duration=2, decimation=4)
+    assert p.sample_rate == 44100 // 4
+    assert p.original_sample_rate == 44100
+    assert p.num_samples == (2 * 44100 + 3) // 4  # scipy.decimate ceil semantics
+
+
+def test_waveform_fitting_from_array_scale_and_peak():
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = waveform_fitting_from_array(sig, sr)
+    assert p.coords[0, 0] == -100.0 and p.coords[-1, 0] == 100.0
+    assert p.decode["peak"] == pytest.approx(0.5, rel=1e-4)
+    assert np.max(np.abs(p.targets)) == pytest.approx(1.0)
+
+
+def test_mdct_fitting_decode_contract():
+    p = mdct_fitting(REFERENCE_WAV, duration=2, n=2048)
+    half = 1024
+    frames = (2 * 44100) // half
+    assert (p.height, p.width) == (half, frames)
+    assert p.targets.shape == (half * frames, 1)
+    assert np.max(np.abs(p.targets)) == pytest.approx(1.0, rel=1e-5)
+    # decode contract inverts the normalisation exactly
+    rec = p.targets.reshape(p.height, p.width) * p.decode["scale"] + p.decode["mean"]
+    assert rec.shape == (half, frames)
+
+
+def test_mdct_fitting_log_mode():
+    p = mdct_fitting(REFERENCE_WAV, duration=1, n=1024, takelog=True)
+    assert p.decode["takelog"] is True
+    assert p.decode["shift"] > 0.0
+    assert np.isfinite(p.targets).all()
+
+
+def test_mdct_fitting_perceptual_mask():
+    p = mdct_fitting(REFERENCE_WAV, duration=1, n=1024, perceptual_mask=True)
+    assert p.loss_weight is not None
+    assert p.loss_weight.shape == p.targets.shape
+    assert p.loss_weight.min() >= 0.8 and p.loss_weight.max() <= 1.0
+
+
+def test_fft_fitting_shapes():
+    p = fft_fitting(REFERENCE_WAV, duration=1, n_fft=1024)
+    assert p.height == 513  # onesided bins
+    assert p.width == 1 + 44100 // 256  # center=True frame count at hop n_fft//4
+    assert p.targets.max() == pytest.approx(1.0)
+    assert p.targets.min() >= 0.0
