@@ -1,0 +1,82 @@
+"""Model zoo: functional init/apply pairs for every architecture the
+reference ships (models.py, kan.py), plus a uniform factory.
+
+``build_model(...)`` returns an ``INRModel`` — (init, apply) closures over a
+static config — which the training loop jits without retracing per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+
+from .activations import snake_apply, snake_init
+from .encodings import (num_frequencies_nyquist, posenc_nerf,
+                        posenc_output_dim, rff_apply, rff_init,
+                        rff_output_dim)
+from .kan import (KANConfig, b_splines, curve2coeff, kan_apply, kan_init,
+                  kan_linear_apply, kan_linear_init, kan_linear_update_grid,
+                  kan_regularization_loss)
+from .relu import ReluMLPConfig, relu_mlp_apply, relu_mlp_init
+from .siren import (SirenConfig, SirenSnakeTanhConfig, linear_apply,
+                    linear_init, scaled_sine_layer_apply,
+                    scaled_sine_layer_init, sine_layer_apply, sine_layer_init,
+                    siren_activations, siren_apply, siren_init,
+                    siren_snake_tanh_activations, siren_snake_tanh_apply,
+                    siren_snake_tanh_init)
+
+
+@dataclasses.dataclass(frozen=True)
+class INRModel:
+    """A model as data: pure ``init(key) -> params`` and
+    ``apply(params, coords) -> out``."""
+
+    name: str
+    config: Any
+    init: Callable[[jax.Array], Any]
+    apply: Callable[[Any, jax.Array], jax.Array]
+
+
+def build_model(arch: str, config: Any = None, **overrides) -> INRModel:
+    """Factory over the zoo: arch in {'mlp', 'siren', 'kan', 'relu'}.
+
+    'mlp' is the production ``SirenWithSnakeTanh`` recipe — the name matches
+    the reference runner's ``arch='mlp'`` branch (run.py:95-96).
+    """
+    if arch == "mlp":
+        cfg = config or SirenSnakeTanhConfig(**overrides)
+        return INRModel(
+            name="siren_snake_tanh", config=cfg,
+            init=lambda key: siren_snake_tanh_init(key, cfg),
+            apply=lambda p, c: siren_snake_tanh_apply(p, cfg, c))
+    if arch == "siren":
+        cfg = config or SirenConfig(**overrides)
+        return INRModel(
+            name="siren", config=cfg,
+            init=lambda key: siren_init(key, cfg),
+            apply=lambda p, c: siren_apply(p, cfg, c))
+    if arch == "kan":
+        cfg = config or KANConfig(**overrides)
+        return INRModel(
+            name="kan", config=cfg,
+            init=lambda key: kan_init(key, cfg),
+            apply=lambda p, c: kan_apply(p, cfg, c))
+    if arch == "relu":
+        cfg = config or ReluMLPConfig(**overrides)
+        return INRModel(
+            name="relu_mlp", config=cfg,
+            init=lambda key: relu_mlp_init(key, cfg),
+            apply=lambda p, c: relu_mlp_apply(p, cfg, c))
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def param_count(params: Any) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+def param_bytes(params: Any) -> int:
+    """Total parameter+buffer bytes — the reference's ``total_model_size``
+    (nelement * element_size over params and buffers, run.py:241-247)."""
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
