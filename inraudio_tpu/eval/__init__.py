@@ -1,0 +1,9 @@
+from .decode import bwe_coords, decode_dense, decode_problem
+from .metrics import (calculate_snr, experiment_record, reconstruction_snr,
+                      save_parameters)
+
+__all__ = [
+    "decode_dense", "decode_problem", "bwe_coords",
+    "calculate_snr", "reconstruction_snr", "experiment_record",
+    "save_parameters",
+]

@@ -1,0 +1,322 @@
+"""Experiment runner with the reference ``train(...)`` surface.
+
+Reproduces the L3 engine of reference run.py:30-400 / run_experimental.py:30-327
+on the TPU stack: build the fitting problem, build the model (+ optional RFF
+encoding), optionally warm-start from a previous checkpoint, run the jitted
+fitting loop, decode (incl. bandwidth extension), evaluate SNR, and emit the
+same artifact set — ``output.wav``, spectrogram/waveform/loss PNGs, a
+checkpoint, and a ``parameters.json`` with the reference's schema
+(run.py:365-398).
+
+``train`` mirrors run.py:30 (file input, returns the checkpoint path);
+``train_from_signal`` mirrors run_experimental.py:30 (in-memory signal,
+coords scaled to [-100, 100], returns {'ckpt', 'ref', 'rec', 'res'} for
+band-split/residual chaining, run_experimental.py:327).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio_io import decimate as decimate_signal
+from ..data.audio_io import read_wav, write_wav
+from ..data.fittings import (FittingProblem, fft_fitting, mdct_fitting,
+                             multi_waveform_fitting, waveform_fitting,
+                             waveform_fitting_from_array)
+from ..eval.decode import decode_problem
+from ..eval.metrics import (experiment_record, reconstruction_snr,
+                            save_parameters)
+from ..eval.plots import (plot_loss_history, plot_waveform_comparison,
+                          plotspec)
+from ..models import (INRModel, KANConfig, SirenSnakeTanhConfig, build_model,
+                      rff_apply, rff_init)
+from ..train.checkpoint import checkpoint_extra, load_checkpoint, save_checkpoint
+from ..train.loop import TrainConfig, fit, init_train_state
+
+
+def make_experiment_folder(experiment_path: str, tag: str) -> str:
+    """``<experiment_path>/<tag>`` with the reference's "(2)" collision
+    rename (run.py:36-40)."""
+    folder = os.path.join(experiment_path, tag)
+    if os.path.exists(folder):
+        folder = folder + "(2)"
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
+def build_problem(method: str, filename: str, duration: float,
+                  decimation: int = 1, n: int = 2048, takelog: bool = False,
+                  num_channels: int = 1,
+                  perceptual_mask: bool = False) -> FittingProblem:
+    """Method dispatch (run.py:44-76): wave | mdct | fft | multi."""
+    if method == "wave":
+        return waveform_fitting(filename, duration, decimation)
+    if method == "mdct":
+        return mdct_fitting(filename, duration, n=n, takelog=takelog,
+                            perceptual_mask=perceptual_mask)
+    if method == "fft":
+        return fft_fitting(filename, duration)
+    if method == "multi":
+        return multi_waveform_fitting(filename, duration, num_channels)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def build_arch(arch: str, in_features: int, hidden: int, num_sine: int,
+               num_snake: int, num_tanh: int, omega: float,
+               hidden_omega: float, a_initial: float | None,
+               first_linear: bool = False,
+               last_linear: bool = True) -> INRModel:
+    """Arch dispatch (run.py:92-113): 'mlp' -> SirenWithSnakeTanh recipe,
+    'kan' -> KAN([in, hidden, hidden, 1])."""
+    if arch == "mlp":
+        return build_model("mlp", SirenSnakeTanhConfig(
+            in_features=in_features, hidden_features=hidden,
+            num_sine=num_sine, num_snake=num_snake, num_tanh=num_tanh,
+            first_linear=first_linear, last_linear=last_linear,
+            first_omega_0=omega, hidden_omega_0=hidden_omega,
+            a_initial=a_initial))
+    if arch == "kan":
+        return build_model("kan", KANConfig(
+            layers_hidden=(in_features, hidden, hidden, 1)))
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def _run_experiment(
+    problem: FittingProblem,
+    experiment_folder: str,
+    reference_signal: np.ndarray,
+    reference_rate: int,
+    *,
+    arch: str, hidden: int, num_sine: int, num_snake: int, num_tanh: int,
+    omega: float, hidden_omega: float, a_initial: float | None,
+    num_freq: int | None, sigma: float,
+    loss_mode: str, alpha: float, total_steps: int,
+    learning_rate: float, min_learning_rate: float,
+    bwe: bool, prev_ckpt_path: str | None, key: jax.Array,
+    make_plots: bool, track_best: bool,
+    hparams: dict[str, Any],
+) -> dict[str, Any]:
+    """Shared engine behind train/train_from_signal."""
+    # --- model + optional RFF input encoding (run.py:81-82,141-144)
+    if num_freq:
+        rff_b = rff_init(jax.random.fold_in(key, 1), problem.in_features,
+                         num_freq, sigma=sigma)
+        encode = lambda c: rff_apply(rff_b, c)  # noqa: E731
+        in_features = 2 * num_freq
+        enc_coords = np.asarray(encode(jnp.asarray(problem.coords)))
+    else:
+        rff_b, encode, in_features = None, None, problem.in_features
+        enc_coords = problem.coords
+    model = build_arch(arch, in_features, hidden, num_sine, num_snake,
+                       num_tanh, omega, hidden_omega, a_initial)
+
+    cfg = TrainConfig(total_steps=total_steps, learning_rate=learning_rate,
+                      min_learning_rate=min_learning_rate,
+                      loss_mode=loss_mode, alpha=alpha, track_best=track_best)
+
+    # --- warm start (run.py:84-106)
+    state = None
+    if prev_ckpt_path:
+        template = init_train_state(model, key, cfg)
+        state = load_checkpoint(prev_ckpt_path, template)
+
+    # --- fit
+    t0 = time.time()
+    result = fit(model, enc_coords, problem.targets, cfg, key=key,
+                 weight=problem.loss_weight, state=state)
+    train_time = time.time() - t0
+
+    # --- decode (+ BWE), de-normalise, write wav (run.py:249-296)
+    recovered, out_rate = decode_problem(model, result.params, problem,
+                                         bwe=bwe, encode=encode)
+    wav_path = os.path.join(experiment_folder, "output.wav")
+    if problem.method in ("wave", "multi", "mdct"):
+        write_wav(wav_path, out_rate, recovered)
+
+    # --- evaluate vs the reference signal (run.py:299-335)
+    ref = reference_signal
+    if bwe:
+        ref_cmp, rate_cmp = ref, reference_rate
+    else:
+        # compare at the (possibly decimated) training rate (run.py:306-316)
+        q = reference_rate // problem.sample_rate
+        ref_cmp = decimate_signal(ref, q) if q > 1 else ref
+        rate_cmp = problem.sample_rate
+    if problem.method == "mdct":
+        peak = float(np.max(np.abs(ref_cmp)))
+        ref_cmp = ref_cmp / peak  # mdct target was fit on normalised audio
+    snr = (reconstruction_snr(ref_cmp, recovered,
+                              trim=1024 if problem.method == "mdct" else 0)
+           if problem.method != "fft" else float("nan"))
+
+    # --- artifacts
+    ckpt_path = save_checkpoint(
+        os.path.join(experiment_folder, "saved_ckpt"), result.state,
+        extra={"arch": arch, "hparams": {k: v for k, v in hparams.items()
+                                         if isinstance(v, (int, float, str,
+                                                           bool, type(None)))}})
+    if make_plots:
+        plot_loss_history(result.loss_history, result.lr_history,
+                          os.path.join(experiment_folder, "loss.png"),
+                          title=f"time {train_time/60:.2f} min")
+        if problem.method != "fft":
+            plotspec(ref_cmp, rate_cmp,
+                     os.path.join(experiment_folder, "spec_ref.png"))
+            plotspec(recovered, out_rate,
+                     os.path.join(experiment_folder, "spec.png"))
+            plot_waveform_comparison(
+                ref_cmp, recovered, out_rate,
+                os.path.join(experiment_folder, "wave.png"))
+
+    record = experiment_record(hparams, result.params, train_time, snr)
+    record["best_iter"] = result.best_iter
+    record["best_loss"] = result.best_loss
+    record["steps_per_sec"] = result.steps_per_sec
+    save_parameters(experiment_folder, record)
+
+    return {
+        "ckpt": ckpt_path,
+        "ref": ref_cmp,
+        "rec": recovered,
+        "res": (ref_cmp[: len(recovered)] - recovered[: len(ref_cmp)]
+                if problem.method != "fft" else None),
+        "snr": snr,
+        "rate": out_rate,
+        "result": result,
+        "model": model,
+        "problem": problem,
+        "record": record,
+    }
+
+
+def train(experiment_path: str,
+          tag: str,
+          inst: str | None = None,
+          duration: float = 10.0,
+          *,
+          filename: str | None = None,
+          method: str = "wave",
+          arch: str = "mlp",
+          loss_mode: str = "mse",
+          total_steps: int = 20000,
+          learning_rate: float = 1e-3,
+          min_learning_rate: float = 1e-6,
+          num_sine: int = 2,
+          num_snake: int = 2,
+          num_tanh: int = 0,
+          hidden: int = 256,
+          omega: float = 22000.0,
+          hidden_omega: float = 30.0,
+          a_initial: float | None = 0.5,
+          num_freq: int | None = None,
+          sigma: float = 10.0,
+          alpha: float = 0.0,
+          decimation: int = 1,
+          bwe: bool = False,
+          takelog: bool = False,
+          n: int = 2048,
+          prev_ckpt_path: str | None = None,
+          seed: int = 0,
+          make_plots: bool = True,
+          track_best: bool = True) -> str:
+    """File-based experiment (reference run.py:30-400). Returns the
+    checkpoint path (run.py:400) for procedural chaining.
+
+    ``inst`` resolves ``data/<inst>.wav`` like the reference (run.py:33);
+    ``filename`` overrides with an explicit path.  Defaults are the
+    reference runner's (run.py:30).
+    """
+    if filename is None:
+        if inst is None:
+            raise ValueError("need inst or filename")
+        filename = os.path.join("data", f"{inst}.wav")
+    folder = make_experiment_folder(experiment_path, tag)
+    problem = build_problem(method, filename, duration, decimation=decimation,
+                            n=n, takelog=takelog)
+    ref_rate, ref = read_wav(filename, channel=0 if method in ("wave", "multi")
+                             else 1)
+    ref = ref[: int(duration * ref_rate)]
+
+    hparams = dict(
+        tag=tag, inst=inst, filename=filename, duration=duration,
+        method=method, arch=arch, loss_mode=loss_mode,
+        total_steps=total_steps, learning_rate=learning_rate,
+        min_learning_rate=min_learning_rate, num_sine=num_sine,
+        num_snake=num_snake, num_tanh=num_tanh, hidden=hidden, omega=omega,
+        hidden_omega=hidden_omega, a_initial=a_initial, num_freq=num_freq,
+        alpha=alpha, decimation=decimation, bwe=bwe, takelog=takelog, N=n,
+        prev_ckpt_path=prev_ckpt_path, seed=seed)
+    out = _run_experiment(
+        problem, folder, ref, ref_rate,
+        arch=arch, hidden=hidden, num_sine=num_sine, num_snake=num_snake,
+        num_tanh=num_tanh, omega=omega, hidden_omega=hidden_omega,
+        a_initial=a_initial, num_freq=num_freq, sigma=sigma,
+        loss_mode=loss_mode, alpha=alpha, total_steps=total_steps,
+        learning_rate=learning_rate, min_learning_rate=min_learning_rate,
+        bwe=bwe, prev_ckpt_path=prev_ckpt_path,
+        key=jax.random.PRNGKey(seed), make_plots=make_plots,
+        track_best=track_best, hparams=hparams)
+    return out["ckpt"]
+
+
+def train_from_signal(experiment_path: str,
+                      tag: str,
+                      input_signal: np.ndarray,
+                      input_fs: int,
+                      *,
+                      coord_scale: float = 100.0,
+                      arch: str = "mlp",
+                      loss_mode: str = "mse",
+                      total_steps: int = 20000,
+                      learning_rate: float = 1e-3,
+                      min_learning_rate: float = 1e-6,
+                      num_sine: int = 2,
+                      num_snake: int = 2,
+                      num_tanh: int = 0,
+                      hidden: int = 256,
+                      omega: float = 22000.0,
+                      hidden_omega: float = 30.0,
+                      a_initial: float | None = 0.5,
+                      num_freq: int | None = None,
+                      sigma: float = 10.0,
+                      alpha: float = 0.0,
+                      decimation: int = 1,
+                      bwe: bool = False,
+                      prev_ckpt_path: str | None = None,
+                      seed: int = 0,
+                      make_plots: bool = True,
+                      track_best: bool = True) -> dict[str, Any]:
+    """In-memory experiment (reference run_experimental.py:30-327): coords
+    span [-100, 100] by default (utils.py:172), the decode is de-normalised
+    by the stored peak, and the residual ``input - recovered`` is returned
+    for band-split chaining (run_experimental.py:215-217,327)."""
+    folder = make_experiment_folder(experiment_path, tag)
+    problem = waveform_fitting_from_array(input_signal, input_fs,
+                                          decimation=decimation,
+                                          coord_scale=coord_scale)
+    hparams = dict(
+        tag=tag, duration=len(input_signal) / input_fs, method="wave",
+        arch=arch, loss_mode=loss_mode, total_steps=total_steps,
+        learning_rate=learning_rate, min_learning_rate=min_learning_rate,
+        num_sine=num_sine, num_snake=num_snake, num_tanh=num_tanh,
+        hidden=hidden, omega=omega, hidden_omega=hidden_omega,
+        a_initial=a_initial, num_freq=num_freq, alpha=alpha,
+        decimation=decimation, bwe=bwe, coord_scale=coord_scale,
+        prev_ckpt_path=prev_ckpt_path, seed=seed)
+    out = _run_experiment(
+        problem, folder, np.asarray(input_signal, dtype=np.float32), input_fs,
+        arch=arch, hidden=hidden, num_sine=num_sine, num_snake=num_snake,
+        num_tanh=num_tanh, omega=omega, hidden_omega=hidden_omega,
+        a_initial=a_initial, num_freq=num_freq, sigma=sigma,
+        loss_mode=loss_mode, alpha=alpha, total_steps=total_steps,
+        learning_rate=learning_rate, min_learning_rate=min_learning_rate,
+        bwe=bwe, prev_ckpt_path=prev_ckpt_path,
+        key=jax.random.PRNGKey(seed), make_plots=make_plots,
+        track_best=track_best, hparams=hparams)
+    return out

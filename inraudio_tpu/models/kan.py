@@ -101,7 +101,7 @@ def kan_linear_init(key: jax.Array, cfg: KANConfig, in_features: int,
                               float(np.sqrt(5.0)) * cfg.scale_base)
     # Noise targets at the interior grid points (kan.py:61-66).
     noise = (jax.random.uniform(kn, (cfg.grid_size + 1, in_features,
-                                     out_features)) - 0.5)
+                                     out_features), jnp.float32) - 0.5)
     noise = noise * cfg.scale_noise / cfg.grid_size
     interior = grid.T[cfg.spline_order:-cfg.spline_order]  # (grid_size+1, in)
     spline_w = curve2coeff(interior, noise, grid, cfg.spline_order)

@@ -73,24 +73,28 @@ def sine_layer_init(key: jax.Array, in_features: int, out_features: int,
     return linear_init(key, in_features, out_features, bound)
 
 
-def linear_apply(p: Params, x: jax.Array,
-                 compute_dtype=jnp.float32) -> jax.Array:
+def linear_apply(p: Params, x: jax.Array, compute_dtype=jnp.float32,
+                 precision=None) -> jax.Array:
     """x @ W + b with optional reduced-precision matmul inputs.
 
     ``preferred_element_type=float32`` keeps the MXU accumulating in fp32
-    even when inputs are bf16.
+    even when inputs are bf16.  ``precision`` matters on TPU where f32
+    matmuls default to one bf16 pass: the numerically delicate first layer
+    (omega0 * coord reaches ~2e4) passes "highest"; hidden layers keep the
+    fast default.
     """
     w = p["w"].astype(compute_dtype)
     x = x.astype(compute_dtype)
     y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
     return y + p["b"]
 
 
 def sine_layer_apply(p: Params, x: jax.Array, omega0: float,
-                     compute_dtype=jnp.float32) -> jax.Array:
+                     compute_dtype=jnp.float32, precision=None) -> jax.Array:
     """sin(omega0 * (Wx+b)) (models.py:114-115)."""
-    return jnp.sin(omega0 * linear_apply(p, x, compute_dtype))
+    return jnp.sin(omega0 * linear_apply(p, x, compute_dtype, precision))
 
 
 def scaled_sine_layer_init(key: jax.Array, in_features: int, out_features: int,
@@ -159,7 +163,7 @@ def siren_init(key: jax.Array, cfg: SirenConfig) -> Params:
 def siren_apply(params: Params, cfg: SirenConfig, coords: jax.Array,
                 compute_dtype=jnp.float32) -> jax.Array:
     x = sine_layer_apply(params["layers"][0], coords.astype(jnp.float32),
-                         cfg.first_omega_0)
+                         cfg.first_omega_0, precision="highest")
     for p in params["layers"][1:-1]:
         x = sine_layer_apply(p, x, cfg.hidden_omega_0, compute_dtype)
     last = params["layers"][-1]
@@ -268,7 +272,8 @@ def siren_snake_tanh_apply(params: Params, cfg: SirenSnakeTanhConfig,
         # First layer always fp32 (omega0 * coord reaches ~2e4).
         dtype = jnp.float32 if i == 0 else compute_dtype
         if kind == "sine_first":
-            x = sine_layer_apply(p, x, cfg.first_omega_0, jnp.float32)
+            x = sine_layer_apply(p, x, cfg.first_omega_0, jnp.float32,
+                                 precision="highest")
         elif kind == "sine":
             x = sine_layer_apply(p, x, cfg.hidden_omega_0, dtype)
         elif kind == "linear_snake":

@@ -1,0 +1,200 @@
+"""Jitted full-batch training loop: lax.scan over steps, zero host sync.
+
+TPU-native re-design of the reference hot loop (run.py:149-190).  The
+reference pays a ``loss.item()`` host round-trip every step for best-model
+bookkeeping and the plateau scheduler (run.py:171,180,187); here the entire
+optimisation — forward, loss mix, backward, Adam, ReduceLROnPlateau, best-
+params snapshot — is one ``lax.scan`` compiled once and run on device,
+returning only the per-step loss/LR histories at the end.
+
+Best-model semantics: the reference's ``best_model = model`` (run.py:173) is
+an alias, so its decode actually uses the FINAL parameters (SURVEY.md C21).
+Here ``track_best=True`` (default) keeps a TRUE on-device snapshot of the
+best parameters (a ~1 MB select per improving step); ``track_best=False``
+reproduces the reference behavior (final params, best_* labels only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import INRModel
+from ..parallel.mesh import make_mesh, replicated_sharding, shard_problem_arrays
+from .losses import mix_loss
+from .optim import (AdamConfig, AdamState, PlateauConfig, PlateauState,
+                    adam_init, adam_update, plateau_init, plateau_update)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Reference runner knobs (run.py:30): loss_mode in {mse, mae, snr},
+    alpha mixes in the STFT term, lr/min_lr feed Adam + plateau."""
+
+    total_steps: int = 20000
+    learning_rate: float = 1e-3
+    min_learning_rate: float = 1e-6
+    loss_mode: str = "mse"
+    alpha: float = 0.0
+    multi_resolution_stft: bool = False
+    track_best: bool = True
+    plateau_factor: float = 0.8
+    plateau_patience: int = 200
+    log_every: int = 1  # history stride; 1 = per-step like the reference
+    # Steps per jitted lax.scan dispatch. The full loop is a host loop over
+    # scan chunks: on TPU the chunk is large (dispatch overhead amortised to
+    # nothing); it also keeps each device executable short, which matters on
+    # virtual-device CPU test meshes where XLA's in-process collectives have
+    # a 40 s rendezvous termination timeout.
+    scan_chunk: int = 500
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: AdamState
+    plateau: PlateauState
+    best_params: Any
+    best_loss: jax.Array
+    best_iter: jax.Array
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: Any            # parameters used for decode (best or final)
+    final_params: Any
+    state: TrainState
+    loss_history: np.ndarray
+    lr_history: np.ndarray
+    best_loss: float
+    best_iter: int
+    steps: int
+    train_time_s: float
+    steps_per_sec: float
+
+
+def init_train_state(model: INRModel, key: jax.Array,
+                     cfg: TrainConfig) -> TrainState:
+    params = model.init(key)
+    adam_cfg = AdamConfig(lr=cfg.learning_rate)
+    return TrainState(
+        params=params,
+        opt=adam_init(params, adam_cfg),
+        plateau=plateau_init(),
+        # distinct buffers: params and best_params are both donated to the
+        # scan — aliasing them would be a double-donation
+        best_params=jax.tree.map(jnp.copy, params),
+        best_loss=jnp.float32(jnp.inf),
+        best_iter=jnp.int32(0),
+    )
+
+
+def make_train_step(model: INRModel, cfg: TrainConfig):
+    """One full-batch step as a pure function:
+    (state, coords, targets, weight) -> (state, (loss, lr))."""
+    adam_cfg = AdamConfig(lr=cfg.learning_rate)
+    plateau_cfg = PlateauConfig(factor=cfg.plateau_factor,
+                                patience=cfg.plateau_patience,
+                                min_lr=cfg.min_learning_rate)
+
+    def loss_fn(params, coords, targets, weight):
+        pred = model.apply(params, coords)
+        return mix_loss(pred, targets, loss_mode=cfg.loss_mode,
+                        alpha=cfg.alpha, weight=weight,
+                        multi_resolution=cfg.multi_resolution_stft)
+
+    def train_step(state: TrainState, coords, targets, weight=None):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, coords,
+                                                  targets, weight)
+        loss = loss.astype(jnp.float32)
+        new_params, opt = adam_update(state.opt, grads, state.params, adam_cfg)
+        plateau, new_lr = plateau_update(state.plateau, loss, opt.lr,
+                                         plateau_cfg)
+        opt = opt._replace(lr=new_lr)
+        improved = loss < state.best_loss
+        if cfg.track_best:
+            # true snapshot: select per-leaf (models are ~1 MB; free on TPU)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(improved, p, b),
+                state.best_params, state.params)
+        else:
+            best_params = state.best_params  # reference alias semantics
+        best_loss = jnp.where(improved, loss, state.best_loss)
+        best_iter = jnp.where(improved, opt.step - 1, state.best_iter)
+        new_state = TrainState(params=new_params, opt=opt, plateau=plateau,
+                               best_params=best_params, best_loss=best_loss,
+                               best_iter=best_iter)
+        return new_state, (loss, new_lr)
+
+    return train_step
+
+
+def fit(model: INRModel,
+        coords: np.ndarray,
+        targets: np.ndarray,
+        cfg: TrainConfig | None = None,
+        key: jax.Array | None = None,
+        weight: np.ndarray | None = None,
+        mesh=None,
+        state: TrainState | None = None) -> FitResult:
+    """Fit the INR to (coords, targets) with the full jitted scan loop.
+
+    ``mesh=None`` builds a 1-D mesh over all visible devices: coords/targets
+    sharded on the sample axis, params replicated — single-device meshes
+    degrade to the trivial layout.  ``state`` warm-starts from a previous
+    phase (procedural curriculum, run.py:486-495).
+    """
+    cfg = cfg or TrainConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    mesh = mesh or make_mesh()
+    coords_d, targets_d, weight_d, _n = shard_problem_arrays(
+        mesh, coords, targets, weight)
+
+    if state is None:
+        state = init_train_state(model, key, cfg)
+    rep = replicated_sharding(mesh)
+    state = jax.device_put(state, rep)
+
+    train_step = make_train_step(model, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("length",))
+    def run(state, coords, targets, weight, length):
+        def body(s, _):
+            s, (loss, lr) = train_step(s, coords, targets, weight)
+            return s, (loss, lr)
+        return jax.lax.scan(body, state, None, length=length)
+
+    chunk = max(1, min(cfg.scan_chunk, cfg.total_steps))
+    t0 = time.time()
+    loss_chunks, lr_chunks = [], []
+    done = 0
+    while done < cfg.total_steps:
+        n = min(chunk, cfg.total_steps - done)
+        state, (lh, lrh) = run(state, coords_d, targets_d, weight_d, length=n)
+        loss_chunks.append(lh)
+        lr_chunks.append(lrh)
+        done += n
+    jax.block_until_ready(state.params)
+    train_time = time.time() - t0
+    loss_hist = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else loss_chunks[0]
+    lr_hist = jnp.concatenate(lr_chunks) if len(lr_chunks) > 1 else lr_chunks[0]
+
+    decode_params = state.best_params if cfg.track_best else state.params
+    return FitResult(
+        params=jax.device_get(decode_params),
+        final_params=jax.device_get(state.params),
+        state=state,
+        loss_history=np.asarray(loss_hist),
+        lr_history=np.asarray(lr_hist),
+        best_loss=float(state.best_loss),
+        best_iter=int(state.best_iter),
+        steps=cfg.total_steps,
+        train_time_s=train_time,
+        steps_per_sec=cfg.total_steps / max(train_time, 1e-9),
+    )

@@ -1,0 +1,181 @@
+"""Chunked multi-INR fitting: long audio as many small INRs, trained
+SIMULTANEOUSLY.
+
+The reference handles long audio only by decimation/truncation/band-split
+(SURVEY.md section 5); its natural extension — split into overlapping windows,
+fit an INR per window, overlap-add the decodes (BASELINE.json config 5) —
+would run serially on a GPU.  The TPU-native design instead treats the chunk
+axis as a batch axis:
+
+- every chunk shares ONE coordinate grid, so the whole population is a
+  single ``vmap``-ed training step: (k, n, h) batched matmuls on the MXU
+  instead of k sequential fits;
+- the chunk axis is sharded over the device mesh (each chip fits its own
+  chunks) — embarrassingly parallel, ZERO inter-chip collectives during
+  training, perfect ICI-free scaling;
+- decode is the same vmap + an overlap-add crossfade stitch on device.
+
+Each chunk is peak-normalised individually (stored per-chunk scale restores
+amplitude at stitch time, like the waveform builders' decode contract).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.coords import get_coord
+from ..models import INRModel
+from ..parallel.mesh import make_mesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .loop import TrainConfig, TrainState, init_train_state, make_train_step
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiINRConfig:
+    chunk_seconds: float = 1.0
+    overlap_fraction: float = 0.25  # of the chunk length, each side
+
+
+class MultiINRResult(NamedTuple):
+    states: TrainState        # stacked on the chunk axis
+    chunk_scales: np.ndarray  # (k,) per-chunk peak de-normalisation
+    chunk_length: int
+    hop: int
+    num_chunks: int
+    signal_length: int
+    loss_history: np.ndarray  # (steps, k)
+    train_time_s: float
+
+
+def chunk_signal(signal: np.ndarray, sample_rate: int,
+                 cfg: MultiINRConfig) -> tuple[np.ndarray, int, int]:
+    """Slice into overlapping windows -> (chunks (k, n), chunk_length, hop).
+
+    The tail is zero-padded to a full window; stitching trims back to the
+    original length.
+    """
+    n = int(round(cfg.chunk_seconds * sample_rate))
+    overlap = int(round(cfg.overlap_fraction * n))
+    hop = max(n - overlap, 1)
+    length = len(signal)
+    k = max(1, int(np.ceil(max(length - n, 0) / hop)) + 1)
+    padded = np.zeros(((k - 1) * hop + n,), dtype=np.float32)
+    padded[:length] = signal
+    idx = (np.arange(k)[:, None] * hop) + np.arange(n)[None, :]
+    return padded[idx], n, hop
+
+
+def _crossfade_window(n: int, overlap: int) -> np.ndarray:
+    """Linear fade-in/out ramps over the overlapped regions; interior flat.
+    Normalised at stitch time by the accumulated weight, so edges are exact."""
+    w = np.ones(n, dtype=np.float32)
+    if overlap > 0:
+        ramp = np.linspace(0.0, 1.0, overlap + 2, dtype=np.float32)[1:-1]
+        w[:overlap] = ramp
+        w[-overlap:] = ramp[::-1]
+    return w
+
+
+def multi_inr_fit(model: INRModel,
+                  signal: np.ndarray,
+                  sample_rate: int,
+                  cfg: MultiINRConfig | None = None,
+                  train_cfg: TrainConfig | None = None,
+                  key: jax.Array | None = None,
+                  mesh=None) -> MultiINRResult:
+    """Fit one INR per chunk, all chunks at once (vmap over the chunk axis,
+    chunk axis sharded over the mesh)."""
+    cfg = cfg or MultiINRConfig()
+    train_cfg = train_cfg or TrainConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    chunks, n, hop = chunk_signal(np.asarray(signal, dtype=np.float32),
+                                  sample_rate, cfg)
+    k = chunks.shape[0]
+    scales = np.maximum(np.max(np.abs(chunks), axis=1), 1e-9)  # (k,)
+    targets = (chunks / scales[:, None])[..., None]            # (k, n, 1)
+
+    # pad the chunk axis to a device-count multiple (dummy chunks dropped at
+    # stitch time)
+    k_pad = (-k) % n_dev
+    if k_pad:
+        targets = np.concatenate(
+            [targets, np.zeros((k_pad, n, 1), dtype=np.float32)], axis=0)
+    k_total = k + k_pad
+
+    coords = jnp.asarray(get_coord(n, dim=1))  # shared by every chunk
+
+    # stacked per-chunk states, chunk axis sharded
+    keys = jax.random.split(key, k_total)
+    states = jax.vmap(lambda kk: init_train_state(model, kk, train_cfg))(keys)
+    chunk_sh = NamedSharding(mesh, P("data"))
+
+    def shard_leaf(x):
+        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    states = jax.tree.map(shard_leaf, states)
+    targets_d = shard_leaf(jnp.asarray(targets))
+
+    train_step = make_train_step(model, train_cfg)
+    vstep = jax.vmap(lambda s, t: train_step(s, coords, t), in_axes=(0, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("length",))
+    def run(states, targets, length):
+        def body(s, _):
+            s, (loss, lr) = vstep(s, targets)
+            return s, loss
+        return jax.lax.scan(body, states, None, length=length)
+
+    chunk_sz = max(1, min(train_cfg.scan_chunk, train_cfg.total_steps))
+    t0 = time.time()
+    hists = []
+    done = 0
+    while done < train_cfg.total_steps:
+        m = min(chunk_sz, train_cfg.total_steps - done)
+        states, h = run(states, targets_d, length=m)
+        hists.append(h)
+        done += m
+    jax.block_until_ready(states.params)
+    train_time = time.time() - t0
+    # drop pad-chunk columns: only the k real chunks are reported
+    hist = np.concatenate([np.asarray(h) for h in hists], axis=0)[:, :k]
+
+    return MultiINRResult(states=states, chunk_scales=scales,
+                          chunk_length=n, hop=hop, num_chunks=k,
+                          signal_length=len(signal), loss_history=hist,
+                          train_time_s=train_time)
+
+
+def multi_inr_decode(model: INRModel, result: MultiINRResult,
+                     track_best: bool = True) -> np.ndarray:
+    """Decode every chunk (one vmapped dense eval) and overlap-add with a
+    crossfade window -> the stitched waveform at the training rate."""
+    n, hop, k = result.chunk_length, result.hop, result.num_chunks
+    coords = jnp.asarray(get_coord(n, dim=1))
+    params = (result.states.best_params if track_best
+              else result.states.params)
+    outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
+    outs = np.asarray(outs)[:k, :, 0] * result.chunk_scales[:, None]  # (k, n)
+
+    overlap = n - hop
+    w = _crossfade_window(n, overlap)
+    total = (k - 1) * hop + n
+    acc = np.zeros(total, dtype=np.float64)
+    den = np.zeros(total, dtype=np.float64)
+    for i in range(k):
+        acc[i * hop: i * hop + n] += outs[i] * w
+        den[i * hop: i * hop + n] += w
+    out = (acc / np.maximum(den, 1e-12)).astype(np.float32)
+    return out[: result.signal_length]

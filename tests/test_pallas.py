@@ -1,0 +1,68 @@
+"""Pallas fused-kernel A/B tests against the jnp reference implementation.
+
+On the CPU test mesh the kernels run in interpreter mode (Mosaic compiles
+only on TPU); numerical equivalence there validates the kernel logic, and
+bench.py exercises the compiled path on the real chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+from inraudio_tpu.ops import fused_siren_apply
+
+KEY = jax.random.PRNGKey(3)
+
+
+CONFIGS = [
+    SirenSnakeTanhConfig(),  # production: sine_first + 2 sine + 2 snake + lin
+    SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=128,
+                         num_sine=1, num_snake=1, num_tanh=1),
+    SirenSnakeTanhConfig(in_features=2, first_omega_0=30.0,
+                         hidden_features=128, num_sine=2, num_snake=0),
+    SirenSnakeTanhConfig(first_linear=True, hidden_features=128),
+    SirenSnakeTanhConfig(last_linear=False, hidden_features=128),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c.layer_kinds and
+                         "-".join(k[:4] for k in c.layer_kinds))
+def test_fused_matches_reference(cfg):
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    coords = jax.random.uniform(KEY, (777, cfg.in_features), jnp.float32,
+                                -1.0, 1.0)
+    ref = model.apply(params, coords)
+    out = fused_siren_apply(params, cfg, coords, block_rows=256,
+                            interpret=True)
+    assert out.shape == ref.shape
+    # omega0 amplifies 1-ulp differences in the first pre-activation by
+    # ~omega0*eps inside sin; at omega0=22000 that is ~2e-3 of a unit-
+    # amplitude output (both paths are exact-f32 — the orderings differ)
+    atol = 2e-5 if cfg.first_omega_0 <= 1000 else 1e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=atol, rtol=1e-4)
+
+
+def test_fused_handles_non_tile_multiple_rows():
+    cfg = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=128,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    for n in (1, 7, 255, 256, 1000):
+        coords = jnp.linspace(-1, 1, n).reshape(-1, 1)
+        ref = model.apply(params, coords)
+        out = fused_siren_apply(params, cfg, coords, block_rows=256,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_fused_rejects_wide_inputs():
+    cfg = SirenSnakeTanhConfig(in_features=256)
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    with pytest.raises(ValueError):
+        fused_siren_apply(params, cfg, jnp.zeros((4, 256)), interpret=True)

@@ -1,0 +1,201 @@
+"""Training-engine tests: fast sine-fit integration (SURVEY.md section 4
+item 3), checkpoint round-trip, best-params semantics, and the 8-fake-device
+sharding equivalence golden test (item 5)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inraudio_tpu.data import get_coord, waveform_fitting_from_array
+from inraudio_tpu.dsp import calculate_snr
+from inraudio_tpu.eval import decode_problem, reconstruction_snr
+from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+from inraudio_tpu.parallel import make_mesh
+from inraudio_tpu.train import (TrainConfig, fit, init_train_state,
+                                load_checkpoint, save_checkpoint)
+
+KEY = jax.random.PRNGKey(42)
+FS = 44100
+
+
+def _sine_problem(freq=440.0, duration=0.1, coord_scale=1.0):
+    n = int(duration * FS)
+    t = np.arange(n) / FS
+    sig = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    coords = get_coord(n, dim=1, scale=coord_scale)
+    return coords, sig.reshape(-1, 1), sig
+
+
+SMALL = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=64,
+                             num_sine=1, num_snake=1)
+
+
+def _mesh1():
+    return make_mesh(jax.devices()[:1])
+
+
+class TestFitIntegration:
+    def test_sine_fit_reaches_snr(self):
+        """The repo's implicit smoke test (run_experimental.py:381-402):
+        a 440 Hz sine must fit to high SNR in a few hundred steps."""
+        coords, targets, sig = _sine_problem()
+        model = build_model("mlp", SMALL)
+        res = fit(model, coords, targets,
+                  TrainConfig(total_steps=800, learning_rate=1e-3), key=KEY,
+                  mesh=_mesh1())
+        out = np.asarray(model.apply(res.params, jnp.asarray(coords)))
+        snr = float(calculate_snr(sig, out.reshape(-1)))
+        assert snr > 25, f"sine fit SNR {snr:.1f} dB"
+        # loss history is per-step and decreasing overall
+        assert res.loss_history.shape == (800,)
+        assert res.loss_history.min() < res.loss_history[:20].mean() / 100
+
+    def test_best_params_at_least_as_good_as_final(self):
+        coords, targets, _ = _sine_problem()
+        model = build_model("mlp", SMALL)
+        res = fit(model, coords, targets, TrainConfig(total_steps=300),
+                  key=KEY, mesh=_mesh1())
+        c, t = jnp.asarray(coords), jnp.asarray(targets)
+        best_mse = float(jnp.mean((model.apply(res.params, c) - t) ** 2))
+        assert best_mse <= res.loss_history.min() * 1.05
+        assert res.best_iter <= 300
+        np.testing.assert_allclose(res.best_loss, res.loss_history.min(),
+                                   rtol=1e-6)
+
+    def test_track_best_false_uses_final(self):
+        coords, targets, _ = _sine_problem()
+        model = build_model("mlp", SMALL)
+        res = fit(model, coords, targets,
+                  TrainConfig(total_steps=100, track_best=False), key=KEY,
+                  mesh=_mesh1())
+        for a, b in zip(jax.tree.leaves(res.params),
+                        jax.tree.leaves(res.final_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_plateau_lr_decays_on_hard_problem(self):
+        # unfittable noise at tiny capacity -> plateau -> lr must drop
+        rng = np.random.default_rng(0)
+        coords = get_coord(2048, dim=1)
+        targets = rng.standard_normal((2048, 1)).astype(np.float32)
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            first_omega_0=30.0, hidden_features=8, num_sine=0, num_snake=0))
+        res = fit(model, coords, targets,
+                  TrainConfig(total_steps=600, plateau_patience=50), key=KEY,
+                  mesh=_mesh1())
+        assert res.lr_history[-1] < 1e-3
+
+
+class TestCheckpoint:
+    def test_roundtrip_exact(self):
+        coords, targets, _ = _sine_problem()
+        model = build_model("mlp", SMALL)
+        cfg = TrainConfig(total_steps=50)
+        res = fit(model, coords, targets, cfg, key=KEY, mesh=_mesh1())
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(os.path.join(d, "ckpt"), res.state,
+                                   extra={"arch": "mlp"})
+            template = init_train_state(model, KEY, cfg)
+            restored = load_checkpoint(path, template)
+        for a, b in zip(jax.tree.leaves(jax.device_get(res.state)),
+                        jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_warm_start_continues_improving(self):
+        """Procedural-curriculum resume (run.py:486-495): phase 2 starts from
+        phase 1's state and keeps improving."""
+        coords, targets, _ = _sine_problem()
+        model = build_model("mlp", SMALL)
+        cfg = TrainConfig(total_steps=200)
+        res1 = fit(model, coords, targets, cfg, key=KEY, mesh=_mesh1())
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(os.path.join(d, "c"), res1.state)
+            template = init_train_state(model, KEY, cfg)
+            state = load_checkpoint(path, template)
+        res2 = fit(model, coords, targets, cfg, key=KEY, state=state,
+                   mesh=_mesh1())
+        assert res2.loss_history[-1] < res1.loss_history[-1] * 1.1
+        assert res2.best_loss <= res1.best_loss * 1.001
+
+    def test_arch_mismatch_rejected(self):
+        coords, targets, _ = _sine_problem()
+        model = build_model("mlp", SMALL)
+        cfg = TrainConfig(total_steps=5)
+        res = fit(model, coords, targets, cfg, key=KEY, mesh=_mesh1())
+        other = build_model("mlp", SirenSnakeTanhConfig(hidden_features=32))
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(os.path.join(d, "c"), res.state)
+            template = init_train_state(other, KEY, cfg)
+            import pytest
+            with pytest.raises(ValueError):
+                load_checkpoint(path, template)
+
+
+class TestShardingEquivalence:
+    def test_8_device_fit_matches_1_device(self):
+        """Coordinate-sharded DP over 8 fake CPU devices must reproduce the
+        single-device fit (same init, same data) to float32 reduction
+        tolerance (SURVEY.md section 4, item 5)."""
+        assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
+        coords, targets, _ = _sine_problem(duration=0.05)
+        model = build_model("mlp", SMALL)
+        cfg = TrainConfig(total_steps=120, scan_chunk=30)
+        res1 = fit(model, coords, targets, cfg, key=KEY,
+                   mesh=make_mesh(jax.devices()[:1]))
+        res8 = fit(model, coords, targets, cfg, key=KEY,
+                   mesh=make_mesh(jax.devices()[:8]))
+        # early steps are wiring-sensitive (a wrong weighting or missing
+        # all-reduce shows up immediately); later steps only to within the
+        # chaos amplification of float reduction-order noise
+        np.testing.assert_allclose(res8.loss_history[:10],
+                                   res1.loss_history[:10], rtol=1e-2)
+        np.testing.assert_allclose(np.log10(res8.loss_history),
+                                   np.log10(res1.loss_history), atol=0.7)
+        assert res1.loss_history[-1] < 1e-3
+        assert res8.loss_history[-1] < 1e-3
+
+    def test_non_divisible_batch_is_padded_correctly(self):
+        """4411 rows on 8 devices: padding must not change the loss (weights
+        zero the pad rows and renormalise)."""
+        coords, targets, _ = _sine_problem(duration=0.1)
+        coords, targets = coords[:4411], targets[:4411]
+        model = build_model("mlp", SMALL)
+        cfg = TrainConfig(total_steps=60, scan_chunk=30)
+        res1 = fit(model, coords, targets, cfg, key=KEY,
+                   mesh=make_mesh(jax.devices()[:1]))
+        res8 = fit(model, coords, targets, cfg, key=KEY,
+                   mesh=make_mesh(jax.devices()[:8]))
+        np.testing.assert_allclose(res8.loss_history[:10],
+                                   res1.loss_history[:10], rtol=1e-2)
+        np.testing.assert_allclose(np.log10(res8.loss_history),
+                                   np.log10(res1.loss_history), atol=0.7)
+
+
+class TestDecode:
+    def test_wave_decode_roundtrip(self):
+        _, _, sig = _sine_problem(duration=0.05)
+        problem = waveform_fitting_from_array(0.5 * sig, FS, coord_scale=1.0)
+        model = build_model("mlp", SMALL)
+        res = fit(model, problem.coords, problem.targets,
+                  TrainConfig(total_steps=600), key=KEY, mesh=_mesh1())
+        wav, rate = decode_problem(model, res.params, problem)
+        assert rate == FS
+        assert wav.shape == (len(sig),)
+        # de-normalisation restores the 0.5 peak scale
+        snr = reconstruction_snr(0.5 * sig, wav)
+        assert snr > 25, snr
+
+    def test_bwe_decode_grid(self):
+        _, _, sig = _sine_problem(duration=0.05)
+        problem = waveform_fitting_from_array(sig, FS, decimation=2,
+                                              coord_scale=1.0)
+        model = build_model("mlp", SMALL)
+        res = fit(model, problem.coords, problem.targets,
+                  TrainConfig(total_steps=50), key=KEY, mesh=_mesh1())
+        wav, rate = decode_problem(model, res.params, problem, bwe=True)
+        assert rate == FS
+        # BWE decodes at the full original-rate grid length
+        duration = problem.height / problem.sample_rate
+        assert wav.shape == (int(FS * duration),)
