@@ -99,7 +99,7 @@ def _run_experiment(
     loss_mode: str, alpha: float, total_steps: int,
     learning_rate: float, min_learning_rate: float,
     bwe: bool, prev_ckpt_path: str | None, key: jax.Array,
-    make_plots: bool, track_best: bool,
+    make_plots: bool, track_best: bool, visualization: bool,
     hparams: dict[str, Any],
 ) -> dict[str, Any]:
     """Shared engine behind train/train_from_signal."""
@@ -161,6 +161,19 @@ def _run_experiment(
         extra={"arch": arch, "hparams": {k: v for k, v in hparams.items()
                                          if isinstance(v, (int, float, str,
                                                            bool, type(None)))}})
+    if visualization:
+        # loss-landscape random plane (reference run.py:192-208) — on device
+        from ..train.losses import mix_loss as _mix
+        from ..utils.landscape import plot_landscape, random_plane
+        coords_j = jnp.asarray(enc_coords)
+        targets_j = jnp.asarray(problem.targets)
+        surface = random_plane(
+            lambda p: _mix(model.apply(p, coords_j), targets_j,
+                           loss_mode=loss_mode),
+            result.params, jax.random.fold_in(key, 2))
+        plot_landscape(surface,
+                       os.path.join(experiment_folder, "landscape.png"))
+
     if make_plots:
         plot_loss_history(result.loss_history, result.lr_history,
                           os.path.join(experiment_folder, "loss.png"),
@@ -224,6 +237,7 @@ def train(experiment_path: str,
           prev_ckpt_path: str | None = None,
           seed: int = 0,
           make_plots: bool = True,
+          visualization: bool = False,
           track_best: bool = True) -> str:
     """File-based experiment (reference run.py:30-400). Returns the
     checkpoint path (run.py:400) for procedural chaining.
@@ -261,7 +275,7 @@ def train(experiment_path: str,
         learning_rate=learning_rate, min_learning_rate=min_learning_rate,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
-        track_best=track_best, hparams=hparams)
+        track_best=track_best, visualization=visualization, hparams=hparams)
     return out["ckpt"]
 
 
@@ -291,6 +305,7 @@ def train_from_signal(experiment_path: str,
                       prev_ckpt_path: str | None = None,
                       seed: int = 0,
                       make_plots: bool = True,
+                      visualization: bool = False,
                       track_best: bool = True) -> dict[str, Any]:
     """In-memory experiment (reference run_experimental.py:30-327): coords
     span [-100, 100] by default (utils.py:172), the decode is de-normalised
@@ -318,5 +333,5 @@ def train_from_signal(experiment_path: str,
         learning_rate=learning_rate, min_learning_rate=min_learning_rate,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
-        track_best=track_best, hparams=hparams)
+        track_best=track_best, visualization=visualization, hparams=hparams)
     return out

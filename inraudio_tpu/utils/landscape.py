@@ -1,0 +1,82 @@
+"""Loss-landscape visualization: random-plane scan with filter
+normalization.
+
+Reference C25 (run.py:192-208) uses the ``loss_landscapes`` pip package:
+``random_plane(model, metric, distance=2, steps=30, normalization='filter',
+deepcopy_model=True)`` on CPU.  The rebuild owns the op and keeps it on
+device: sample two random pytree directions, filter-normalise each leaf
+(per-output-row scaling to the parameter's norm — Li et al. 2018), then
+evaluate the loss over the (steps x steps) grid of parameter perturbations
+with a vmapped forward.  The reference's CPU round-trip becomes one batched
+device computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _filter_normalize(direction: Any, params: Any) -> Any:
+    """Scale each leaf of ``direction`` so its norm matches the matching
+    params leaf (per-row for matrices — 'filter' normalization)."""
+    def norm_leaf(d, p):
+        if d.ndim >= 2:
+            d_norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            p_norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
+            return d * (p_norm / (d_norm + 1e-12))
+        d_norm = jnp.linalg.norm(d)
+        p_norm = jnp.linalg.norm(p)
+        return d * (p_norm / (d_norm + 1e-12))
+    return jax.tree.map(norm_leaf, direction, params)
+
+
+def random_plane(loss_fn: Callable[[Any], jax.Array], params: Any,
+                 key: jax.Array, distance: float = 2.0, steps: int = 30,
+                 batch_rows: int = 64) -> np.ndarray:
+    """(steps, steps) loss surface over a filter-normalised random plane
+    through ``params`` (reference run.py:194-201 semantics)."""
+    k1, k2 = jax.random.split(key)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys1 = jax.random.split(k1, len(leaves))
+    keys2 = jax.random.split(k2, len(leaves))
+    d1 = treedef.unflatten([jax.random.normal(k, l.shape, l.dtype)
+                            for k, l in zip(keys1, leaves)])
+    d2 = treedef.unflatten([jax.random.normal(k, l.shape, l.dtype)
+                            for k, l in zip(keys2, leaves)])
+    d1 = _filter_normalize(d1, params)
+    d2 = _filter_normalize(d2, params)
+
+    # offsets in [-distance/2, +distance/2] like loss_landscapes' centered plane
+    alphas = jnp.linspace(-0.5, 0.5, steps) * distance
+    betas = jnp.linspace(-0.5, 0.5, steps) * distance
+
+    def at(alpha, beta):
+        p = jax.tree.map(lambda p0, a, b: p0 + alpha * a + beta * b,
+                         params, d1, d2)
+        return loss_fn(p)
+
+    row = jax.jit(jax.vmap(at, in_axes=(None, 0)))
+    surface = np.stack([np.asarray(row(a, betas)) for a in alphas])
+    return surface
+
+
+def plot_landscape(surface: np.ndarray, path: str) -> None:
+    """Surface plot PNG (reference run.py:202-208)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    s = np.asarray(surface)
+    x, y = np.meshgrid(np.arange(s.shape[0]), np.arange(s.shape[1]),
+                       indexing="ij")
+    ax.plot_surface(x, y, s, cmap="viridis", linewidth=0)
+    ax.set_title("loss landscape (random plane, filter-normalised)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

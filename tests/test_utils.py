@@ -1,0 +1,66 @@
+"""Aux-subsystem tests: JSONL metrics, step timing, loss landscape."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+from inraudio_tpu.utils import (MetricsLogger, StepTimer, random_plane,
+                                read_metrics)
+
+
+class TestMetricsLogger:
+    def test_roundtrip(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "m.jsonl")
+            with MetricsLogger(path) as m:
+                m.log({"step": 0, "loss": 0.5})
+                m.log({"step": 1, "loss": 0.25})
+            recs = read_metrics(path)
+            assert [r["step"] for r in recs] == [0, 1]
+            assert all("t" in r for r in recs)
+
+    def test_append_across_sessions(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "m.jsonl")
+            with MetricsLogger(path) as m:
+                m.log({"a": 1})
+            with MetricsLogger(path) as m:
+                m.log({"a": 2})
+            assert len(read_metrics(path)) == 2
+
+
+class TestStepTimer:
+    def test_counters(self):
+        t = StepTimer(samples_per_step=1000)
+        t.tick(10)
+        assert t.steps == 10
+        assert t.steps_per_sec > 0
+        assert t.msamples_per_sec > 0
+
+
+class TestLandscape:
+    def test_random_plane_shape_and_center(self):
+        """The plane passes through params at the grid center: with an odd
+        step count the central cell equals the unperturbed loss; corners are
+        at least as large (they're perturbations of a local optimum-ish
+        point)."""
+        cfg = SirenSnakeTanhConfig(first_omega_0=30.0, hidden_features=16,
+                                   num_sine=1, num_snake=0)
+        model = build_model("mlp", cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        coords = jnp.linspace(-1, 1, 128).reshape(-1, 1)
+        targets = jnp.sin(3 * coords)
+
+        def loss_fn(p):
+            return jnp.mean((model.apply(p, coords) - targets) ** 2)
+
+        surface = random_plane(loss_fn, params, jax.random.PRNGKey(1),
+                               distance=1.0, steps=7)
+        assert surface.shape == (7, 7)
+        assert np.all(np.isfinite(surface))
+        center = surface[3, 3]
+        np.testing.assert_allclose(center, float(loss_fn(params)), rtol=1e-5)
