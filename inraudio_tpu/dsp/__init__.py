@@ -1,4 +1,6 @@
-from .windows import sine_window, hann_window, kbd_window, rect_window
+from .windows import (sine_window, hann_window, kbd_window, rect_window,
+                      long_window, short_window, transition_start_window,
+                      transition_stop_window)
 from .mdct import mdct, imdct, stmdct, istmdct, num_stmdct_frames
 from .snr import calculate_snr
 from .filters import butter_coeffs, lfilter, filtfilt, hpfilter, lpfilter
@@ -7,6 +9,8 @@ from .psycho import thresh_quiet, intensity, hearing_threshold_mask
 
 __all__ = [
     "sine_window", "hann_window", "kbd_window", "rect_window",
+    "long_window", "short_window", "transition_start_window",
+    "transition_stop_window",
     "mdct", "imdct", "stmdct", "istmdct", "num_stmdct_frames",
     "calculate_snr",
     "butter_coeffs", "lfilter", "filtfilt", "hpfilter", "lpfilter",

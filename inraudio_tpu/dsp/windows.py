@@ -58,3 +58,47 @@ def kbd_window(n: int, alpha: float = 4.0) -> np.ndarray:
 def rect_window(n: int) -> np.ndarray:
     """Rectangular window scaled by 0.2, reference window.py:63-64."""
     return 0.2 * np.ones(n)
+
+
+# ---------------------------------------------------------------------------
+# Block switching (reference window.py:67-113, drafted there but commented
+# out).  Long blocks use KBD for faster stop-band dropoff; short blocks use
+# sine for better time localisation; asymmetric transition windows splice a
+# long half onto a short half so a long->short->long window sequence still
+# satisfies the TDAC overlap condition at every hop boundary.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def long_window(n_long: int = 1024, alpha: float = 4.0) -> np.ndarray:
+    """Long analysis window: KBD of length ``n_long`` (window.py:72-79)."""
+    return kbd_window(n_long, alpha)
+
+
+@functools.lru_cache(maxsize=None)
+def short_window(n_short: int = 256) -> np.ndarray:
+    """Short analysis window: sine of length ``n_short`` (window.py:81-87)."""
+    return sine_window(n_short)
+
+
+@functools.lru_cache(maxsize=None)
+def transition_start_window(n_long: int = 1024, n_short: int = 256,
+                            alpha: float = 4.0) -> np.ndarray:
+    """Long-to-short transition (window.py:89-101), asymmetric, length
+    ``(n_long + n_short) / 2``: left = first ``n_long/2`` samples of the long
+    KBD window, right = last ``n_short/2`` samples of the short sine
+    window."""
+    left = kbd_window(n_long, alpha)[: n_long // 2]
+    right = sine_window(n_short)[n_short // 2:]
+    return np.concatenate([left, right])
+
+
+@functools.lru_cache(maxsize=None)
+def transition_stop_window(n_long: int = 1024, n_short: int = 256,
+                           alpha: float = 4.0) -> np.ndarray:
+    """Short-to-long transition (window.py:103-113): rising sine half of the
+    short window then the falling KBD half of the long window; length
+    ``(n_short + n_long) / 2``."""
+    left = sine_window(n_short)[: n_short // 2]
+    right = kbd_window(n_long, alpha)[n_long // 2:]
+    return np.concatenate([left, right])

@@ -19,6 +19,7 @@ from .encodings import (num_frequencies_nyquist, posenc_nerf,
 from .kan import (KANConfig, b_splines, curve2coeff, kan_apply, kan_init,
                   kan_linear_apply, kan_linear_init, kan_linear_update_grid,
                   kan_regularization_loss)
+from .quantize import dequantize_params, quantize_params
 from .relu import ReluMLPConfig, relu_mlp_apply, relu_mlp_init
 from .siren import (SirenConfig, SirenSnakeTanhConfig, linear_apply,
                     linear_init, scaled_sine_layer_apply,
@@ -39,14 +40,23 @@ class INRModel:
     apply: Callable[[Any, jax.Array], jax.Array]
 
 
-def build_model(arch: str, config: Any = None, **overrides) -> INRModel:
+def build_model(arch: str, config: Any = None, fused: bool = False,
+                **overrides) -> INRModel:
     """Factory over the zoo: arch in {'mlp', 'siren', 'kan', 'relu'}.
 
     'mlp' is the production ``SirenWithSnakeTanh`` recipe — the name matches
     the reference runner's ``arch='mlp'`` branch (run.py:95-96).
+    ``fused=True`` routes apply through the Pallas full-stack kernel
+    (differentiable; TPU only — raw-coordinate inputs).
     """
     if arch == "mlp":
         cfg = config or SirenSnakeTanhConfig(**overrides)
+        if fused:
+            from ..ops.pallas_siren_train import fused_siren_train_apply
+            return INRModel(
+                name="siren_snake_tanh_fused", config=cfg,
+                init=lambda key: siren_snake_tanh_init(key, cfg),
+                apply=lambda p, c: fused_siren_train_apply(p, cfg, c))
         return INRModel(
             name="siren_snake_tanh", config=cfg,
             init=lambda key: siren_snake_tanh_init(key, cfg),

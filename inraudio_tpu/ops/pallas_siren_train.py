@@ -1,0 +1,282 @@
+"""Differentiable fused SIREN stack: Pallas forward + custom-VJP backward.
+
+Training-path companion to ``pallas_siren.fused_siren_apply`` (see that
+module for the fusion rationale).  Under plain XLA autodiff, every layer of
+the backward pass reloads the saved (n, h) activations from HBM; here the
+backward kernel RECOMPUTES the forward per coordinate tile inside VMEM
+(rematerialisation — FLOPs are cheap on the MXU, HBM bytes are not) and
+accumulates the weight gradients across the sequential grid in VMEM-resident
+output blocks.  HBM traffic per step collapses to:
+
+    read coords + cotangent once, write dW/db/da once  (vs. ~2 x L x (n, h))
+
+Gradients returned match ``jax.grad`` of the jnp reference path to float32
+tolerance (tests/test_pallas_train.py).  Layer recipe support mirrors the
+inference kernel: sine_first / sine / linear_snake / linear_tanh /
+linear_last with in_features <= 8.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.siren import SirenSnakeTanhConfig
+from .pallas_siren import (_MAX_SMALL_IN, _flatten_params, _round_up,
+                           _stack_kernel)
+
+Params = dict[str, Any]
+
+
+def _layer_param_slots(kinds):
+    """Number of flat-param entries per layer: w, b, (+a for snake)."""
+    return [3 if k == "linear_snake" else 2 for k in kinds]
+
+
+def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype):
+    """Recompute forward, returning per-layer (input, pre) pairs."""
+    saved = []
+    ri = 0
+    for li, kind in enumerate(kinds):
+        w = refs[ri][:]
+        b = refs[ri + 1][:]
+        ri += 2
+        if li == 0:
+            pre = b.astype(jnp.float32)
+            for d in range(in_features):
+                pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
+        else:
+            pre = jax.lax.dot_general(
+                x.astype(compute_dtype), w.astype(compute_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+        a = None
+        if kind in ("sine_first", "sine"):
+            out = jnp.sin(omegas[li] * pre)
+        elif kind == "linear_snake":
+            a = refs[ri][:].astype(jnp.float32)
+            ri += 1
+            out = pre + (0.5 / a) * (1.0 - jnp.cos(2.0 * a * pre))
+        elif kind == "linear_tanh":
+            out = jnp.tanh(pre)
+        else:
+            out = pre
+        saved.append((x, pre, a))
+        x = out
+    return x, saved
+
+
+def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
+                compute_dtype, num_param_refs):
+    """Backward per tile: recompute forward, backprop, accumulate grads.
+
+    refs = param refs (inputs) followed by grad output refs (same order).
+    Grad outputs use constant index maps — the same VMEM block is revisited
+    every grid step, so ``+=`` accumulates across the sequential grid.
+    """
+    param_refs = refs[:num_param_refs]
+    grad_refs = refs[num_param_refs:]
+
+    is_first_tile = pl.program_id(0) == 0
+
+    @pl.when(is_first_tile)
+    def _():
+        for gr in grad_refs:
+            gr[...] = jnp.zeros(gr.shape, gr.dtype)
+
+    x0 = coords_ref[:].astype(jnp.float32)
+    _, saved = _fwd_pres(x0, param_refs, kinds, omegas, in_features,
+                         compute_dtype)
+
+    g = g_ref[:].astype(jnp.float32)  # (rows, out_pad)
+    ri = num_param_refs
+    # walk layers in reverse, tracking ref index per layer
+    slots = _layer_param_slots(kinds)
+    starts = np.cumsum([0] + slots[:-1]).tolist()
+    for li in range(len(kinds) - 1, -1, -1):
+        kind = kinds[li]
+        x_in, pre, a = saved[li]
+        base = starts[li]
+        w_ref = param_refs[base]
+        gw_ref = grad_refs[base]
+        gb_ref = grad_refs[base + 1]
+        if kind in ("sine_first", "sine"):
+            gpre = g * (omegas[li] * jnp.cos(omegas[li] * pre))
+        elif kind == "linear_snake":
+            gpre = g * (1.0 + jnp.sin(2.0 * a * pre))
+            # d/da [x + (0.5/a)(1 - cos(2ax))]:
+            #   -(0.5/a^2)(1 - cos(2 a pre)) + (pre/a) sin(2 a pre)
+            ga = (-(0.5 / (a * a)) * (1.0 - jnp.cos(2.0 * a * pre))
+                  + (pre / a) * jnp.sin(2.0 * a * pre)) * g
+            grad_refs[base + 2][...] += jnp.sum(ga, axis=0, keepdims=True)
+        elif kind == "linear_tanh":
+            t = jnp.tanh(pre)
+            gpre = g * (1.0 - t * t)
+        else:  # linear_last
+            gpre = g
+        # dW = x_in^T gpre ; db = sum gpre
+        gw_ref[...] += jax.lax.dot_general(
+            x_in.astype(compute_dtype), gpre.astype(compute_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        gb_ref[...] += jnp.sum(gpre, axis=0, keepdims=True)
+        if li > 0:
+            g = jax.lax.dot_general(
+                gpre.astype(compute_dtype), w_ref[:].astype(compute_dtype),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _pad_inputs(coords, block_rows):
+    n, d = coords.shape
+    n_pad = _round_up(max(n, block_rows), block_rows)
+    out = jnp.zeros((n_pad, _MAX_SMALL_IN), dtype=jnp.float32)
+    return out.at[:n, :d].set(coords.astype(jnp.float32)), n_pad
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
+                                             "compute_dtype_name",
+                                             "interpret"))
+def _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
+             interpret):
+    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                     else jnp.float32)
+    kinds = cfg.layer_kinds
+    omegas = tuple(cfg.first_omega_0 if k == "sine_first"
+                   else (cfg.hidden_omega_0 if k == "sine" else 0.0)
+                   for k in kinds)
+    n, d = coords.shape
+    coords_p, n_pad = _pad_inputs(coords, block_rows)
+    out_f = 128
+    in_specs = [pl.BlockSpec((block_rows, _MAX_SMALL_IN), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    kernel = functools.partial(_stack_kernel, kinds=kinds, omegas=omegas,
+                               in_features=d, compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_f), jnp.float32),
+        grid=(n_pad // block_rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_rows, out_f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coords_p, *flat_params)
+    return out[:n, : cfg.out_features]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
+                                             "compute_dtype_name",
+                                             "interpret"))
+def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
+              interpret):
+    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                     else jnp.float32)
+    kinds = cfg.layer_kinds
+    omegas = tuple(cfg.first_omega_0 if k == "sine_first"
+                   else (cfg.hidden_omega_0 if k == "sine" else 0.0)
+                   for k in kinds)
+    n, d = coords.shape
+    coords_p, n_pad = _pad_inputs(coords, block_rows)
+    out_f = 128
+    g_p = jnp.zeros((n_pad, out_f), dtype=jnp.float32)
+    g_p = g_p.at[:n, : cfg.out_features].set(g.astype(jnp.float32))
+
+    in_specs = [
+        pl.BlockSpec((block_rows, _MAX_SMALL_IN), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, out_f), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes, out_specs = [], []
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_bwd_kernel, kinds=kinds, omegas=omegas,
+                               in_features=d, compute_dtype=compute_dtype,
+                               num_param_refs=len(flat_params))
+    grads = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=(n_pad // block_rows,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(coords_p, g_p, *flat_params)
+    return list(grads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_stack(flat_params, coords, cfg, block_rows, compute_dtype_name,
+                 interpret):
+    return _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
+                    interpret)
+
+
+def _fused_stack_fwd(flat_params, coords, cfg, block_rows,
+                     compute_dtype_name, interpret):
+    out = _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
+                   interpret)
+    return out, (flat_params, coords)
+
+
+def _fused_stack_bwd(cfg, block_rows, compute_dtype_name, interpret,
+                     residuals, g):
+    flat_params, coords = residuals
+    grads = _backward(flat_params, coords, g, cfg, block_rows,
+                      compute_dtype_name, interpret)
+    return list(grads), None  # flat-params grads (list pytree), no dcoords
+
+
+_fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)
+
+
+def _unflatten_grads(flat_grads, params: Params,
+                     cfg: SirenSnakeTanhConfig) -> Params:
+    """Flat grad list -> the layer-dict pytree (inverse of _flatten_params),
+    trimming first-layer input padding and final-layer lane padding."""
+    kinds = cfg.layer_kinds
+    gi = 0
+    layers = []
+    for li, (kind, p) in enumerate(zip(kinds, params["layers"])):
+        gw = flat_grads[gi]
+        gb = flat_grads[gi + 1].reshape(-1)
+        gi += 2
+        in_f, out_f = p["w"].shape
+        gw = gw[:in_f, :out_f]
+        gb = gb[:out_f]
+        layer = {"w": gw, "b": gb}
+        if kind == "linear_snake":
+            layer["snake_a"] = flat_grads[gi].reshape(-1)[:out_f]
+            gi += 1
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def fused_siren_train_apply(params: Params, cfg: SirenSnakeTanhConfig,
+                            coords: jax.Array, block_rows: int = 512,
+                            compute_dtype=jnp.float32,
+                            interpret: bool = False) -> jax.Array:
+    """Differentiable fused forward — drop-in for
+    ``siren_snake_tanh_apply`` inside jax.grad/value_and_grad.
+
+    The VJP maps cotangents onto the flat parameter list; use
+    ``grads_to_pytree`` only if calling the flat API directly — under
+    jax.grad of a loss over ``params`` the pytree plumbing is automatic.
+    """
+    if cfg.in_features > _MAX_SMALL_IN:
+        raise ValueError("fused train kernel supports raw coordinates only "
+                         f"(in_features <= {_MAX_SMALL_IN})")
+    name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    flat = _flatten_params(params, cfg)
+    return _fused_stack(flat, coords, cfg, block_rows, name, interpret)

@@ -282,3 +282,41 @@ class TestReluMLP:
 def test_factory_rejects_unknown():
     with pytest.raises(ValueError):
         build_model("transformer")
+
+
+class TestQuantization:
+    """Post-fit quantization (reference drafts model.half() at
+    run.py:236-239)."""
+
+    def _params(self):
+        from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+        cfg = SirenSnakeTanhConfig(hidden_features=64, num_sine=1,
+                                   num_snake=1, first_omega_0=30.0)
+        model = build_model("mlp", cfg)
+        return model, cfg, model.init(jax.random.PRNGKey(0))
+
+    def test_half_precision_roundtrip_snr(self):
+        from inraudio_tpu.models import (dequantize_params, param_bytes,
+                                         quantize_params)
+        model, cfg, params = self._params()
+        coords = jnp.linspace(-1, 1, 1000).reshape(-1, 1)
+        ref = model.apply(params, coords)
+        for mode in ("float16", "bfloat16"):
+            q = quantize_params(params, mode)
+            assert param_bytes(q) * 2 == param_bytes(params)
+            out = model.apply(dequantize_params(q), coords)
+            err = jnp.mean((out - ref) ** 2)
+            sig = jnp.mean(ref ** 2)
+            snr = 10 * jnp.log10(sig / jnp.maximum(err, 1e-20))
+            assert snr > (40 if mode == "float16" else 20), (mode, float(snr))
+
+    def test_int8_structure_and_accuracy(self):
+        from inraudio_tpu.models import dequantize_params, quantize_params
+        model, cfg, params = self._params()
+        q = quantize_params(params, "int8")
+        leaf = q["layers"][0]["w"]
+        assert set(leaf) == {"q", "scale"} and leaf["q"].dtype == jnp.int8
+        d = dequantize_params(q)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(d)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=float(np.max(np.abs(a)) / 100))

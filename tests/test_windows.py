@@ -39,3 +39,33 @@ def test_sine_window_power_complementarity():
     w = sine_window(n)
     half = n // 2
     np.testing.assert_allclose(w[:half] ** 2 + w[half:] ** 2, np.ones(half), atol=1e-12)
+
+
+def test_block_switching_lengths_and_tdac():
+    """Transition windows splice long/short halves (reference window.py:67-113):
+    a long->transition_start->short sequence keeps the Princen-Bradley
+    condition at each overlapped hop boundary."""
+    from inraudio_tpu.dsp import (long_window, short_window,
+                                  transition_start_window,
+                                  transition_stop_window)
+    n_long, n_short = 1024, 256
+    lw = long_window(n_long)
+    sw = short_window(n_short)
+    start = transition_start_window(n_long, n_short)
+    stop = transition_stop_window(n_long, n_short)
+    assert len(start) == len(stop) == (n_long + n_short) // 2
+    # left half of the start transition == rising half of the long window
+    np.testing.assert_allclose(start[: n_long // 2], lw[: n_long // 2])
+    # right tail == falling half of the short window
+    np.testing.assert_allclose(start[-(n_short // 2):], sw[n_short // 2:])
+    # TDAC across the long->transition boundary: the falling long half
+    # overlaps the rising half of the NEXT window; for the spliced start
+    # transition the rising part is the long KBD half, so power
+    # complementarity holds sample-for-sample.
+    np.testing.assert_allclose(
+        lw[n_long // 2:] ** 2 + start[: n_long // 2] ** 2,
+        np.ones(n_long // 2), atol=1e-12)
+    # short->stop boundary likewise via the sine halves
+    np.testing.assert_allclose(
+        sw[n_short // 2:] ** 2 + stop[: n_short // 2] ** 2,
+        np.ones(n_short // 2), atol=1e-12)
