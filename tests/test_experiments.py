@@ -186,3 +186,21 @@ class TestMultiINR:
         o1 = multi_inr_decode(model, r1)
         o8 = multi_inr_decode(model, r8)
         np.testing.assert_allclose(o8, o1, atol=5e-4)
+
+
+def test_cli_fit_smoke(tmp_path):
+    """python -m inraudio_tpu fit ... exercises the same kwarg surface as
+    the reference's hand-edited __main__ (run.py:404-495)."""
+    from inraudio_tpu.__main__ import main
+    rc = main([
+        "fit", "--filename", BACH, "--duration", "0.05",
+        "--experiment-path", str(tmp_path), "--tag", "cli",
+        "--total-steps", "5", "--hidden", "32", "--num-sine", "1",
+        "--num-snake", "0", "--omega", "100", "--no-plots",
+    ])
+    assert rc == 0
+    pj = os.path.join(tmp_path, "cli", "parameters.json")
+    assert os.path.exists(pj)
+    with open(pj) as f:
+        rec = json.load(f)
+    assert "SNR" in rec
