@@ -100,7 +100,11 @@ def bench_multi() -> float:
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "128")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))
-    model = build_model("mlp", model_cfg)
+    # fused Pallas kernel + polynomial sin: ~3x steps/sec and decode vs the
+    # XLA path (BASELINE.md); BENCH_FUSED=0 falls back to plain XLA
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    approx = os.environ.get("BENCH_APPROX_SIN", "1") == "1" and fused
+    model = build_model("mlp", model_cfg, fused=fused, approx_sin=approx)
     tc = TrainConfig(total_steps=MAX_STEPS, scan_chunk=ROUND_STEPS,
                      learning_rate=float(os.environ.get("BENCH_LR", "1e-3")))
 

@@ -41,13 +41,16 @@ class INRModel:
 
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
-                **overrides) -> INRModel:
+                approx_sin: bool = False, **overrides) -> INRModel:
     """Factory over the zoo: arch in {'mlp', 'siren', 'kan', 'relu'}.
 
     'mlp' is the production ``SirenWithSnakeTanh`` recipe — the name matches
     the reference runner's ``arch='mlp'`` branch (run.py:95-96).
     ``fused=True`` routes apply through the Pallas full-stack kernel
-    (differentiable; TPU only — raw-coordinate inputs).
+    (differentiable; TPU only — raw-coordinate inputs); ``approx_sin=True``
+    additionally swaps sin/cos for the in-kernel Cody-Waite polynomial pair
+    (~1e-6 abs error) — the stack is transcendental-bound, so this is worth
+    ~3x on both decode and the training step (measured, BASELINE.md).
     """
     if arch == "mlp":
         cfg = config or SirenSnakeTanhConfig(**overrides)
@@ -56,7 +59,8 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
             return INRModel(
                 name="siren_snake_tanh_fused", config=cfg,
                 init=lambda key: siren_snake_tanh_init(key, cfg),
-                apply=lambda p, c: fused_siren_train_apply(p, cfg, c))
+                apply=lambda p, c: fused_siren_train_apply(
+                    p, cfg, c, approx_sin=approx_sin))
         return INRModel(
             name="siren_snake_tanh", config=cfg,
             init=lambda key: siren_snake_tanh_init(key, cfg),

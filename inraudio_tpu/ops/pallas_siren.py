@@ -47,11 +47,76 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dot_precision(compute_dtype):
+    """f32 kernel matmuls must be EXACT: Mosaic's default f32 matmul is a
+    single bf16 pass (~1e-3 relative error), which measurably degrades both
+    gradients and fit SNR.  bf16 inputs keep the default (that IS the
+    requested precision)."""
+    return (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else None)
+
+
+# Odd least-squares polynomial for sin on [-pi, pi], degree 11,
+# max abs error 3.05e-07 (~ -130 dB): fitted offline, see module tests.
+_SIN_C = (0.99999970695822715, -0.16666577198087604, 0.0083325579983740631,
+          -0.00019812572237557381, 2.7040473313016951e-06,
+          -2.0534080047784251e-08)
+_INV_TWO_PI = 0.15915494309189535
+_HALF_PI = 1.5707963267948966
+# Cody-Waite split of 2*pi: HI is exactly representable with a 5-bit
+# mantissa, so k*HI is exact in f32 for |k| < 2^18; the residual LO carries
+# the rest.  Reduction error stays ~1e-6 rad even at first-layer arguments
+# |x| ~ omega0 ~ 2e4 (naive single-constant reduction would be ~1e-3 there).
+_TWO_PI_HI = 6.28125
+_TWO_PI_LO = 1.9353071795864769e-03
+
+
+def _fast_sin(x):
+    """sin via Cody-Waite range reduction + degree-11 odd polynomial.
+
+    ~12 VPU ops per element vs the ~3x costlier precise lowering; the
+    decode path of a SIREN stack is transcendental-bound (measured: fp32
+    and bf16 matmuls give identical Msamples/s), so this is the single
+    biggest decode-throughput lever.  |error| <= ~1e-6 absolute across the
+    framework's argument range — far below fp32 model noise at audio SNR
+    scales.
+    """
+    k = jnp.round(x * _INV_TWO_PI)
+    r = (x - k * _TWO_PI_HI) - k * _TWO_PI_LO
+    return _sin_poly(r)
+
+
+def _fast_cos(x):
+    """cos(x) = sin(x + pi/2), with the pi/2 shift folded into the
+    reduction so it is applied to the SMALL residual (adding pi/2 to a
+    large x before reducing would itself lose ~|x|*2^-24 rad)."""
+    k = jnp.round(x * _INV_TWO_PI + 0.25)
+    r = (x - k * _TWO_PI_HI) - k * _TWO_PI_LO + _HALF_PI
+    return _sin_poly(r)
+
+
+def _sin_poly(r):
+    r2 = r * r
+    p = _SIN_C[5]
+    for c in (_SIN_C[4], _SIN_C[3], _SIN_C[2], _SIN_C[1], _SIN_C[0]):
+        p = p * r2 + c
+    return r * p
+
+
 def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
-                  compute_dtype):
-    """refs = [w0, b0, (a0?), w1, b1, (a1?), ..., out_ref]."""
+                  compute_dtype, compact_out=False, approx_sin=False):
+    """refs = [w0, b0, (a0?), w1, b1, (a1?), ..., out_ref].
+
+    ``compact_out``: the model output is scalar (out_features == 1), so
+    instead of writing the lane-padded (rows, 128) activation — 128x the
+    useful HBM bytes — write the scalar column reshaped to
+    (rows // 128, 128); the host reshapes back to (n,).  This turns decode
+    from write-bandwidth-bound into compute-bound.
+    """
     out_ref = refs[-1]
     refs = refs[:-1]
+    sin_fn = _fast_sin if approx_sin else jnp.sin
+    cos_fn = _fast_cos if approx_sin else jnp.cos
 
     x = coords_ref[:].astype(jnp.float32)  # (rows, in_pad)
     ri = 0
@@ -68,26 +133,31 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
             xin = x.astype(compute_dtype)
             pre = jax.lax.dot_general(
                 xin, w.astype(compute_dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(compute_dtype)) + b.astype(jnp.float32)
         if kind in ("sine_first", "sine"):
-            x = jnp.sin(omegas[li] * pre)
+            x = sin_fn(omegas[li] * pre)
         elif kind == "linear_snake":
             a = refs[ri][:].astype(jnp.float32)  # (1, out_f)
             ri += 1
-            x = pre + (0.5 / a) * (1.0 - jnp.cos(2.0 * a * pre))
+            x = pre + (0.5 / a) * (1.0 - cos_fn(2.0 * a * pre))
         elif kind == "linear_tanh":
             x = jnp.tanh(pre)
         else:  # linear_last
             x = pre
-    out_ref[:] = x.astype(out_ref.dtype)
+    if compact_out:
+        rows = x.shape[0]
+        out_ref[:] = x[:, 0:1].reshape(rows // 128, 128).astype(out_ref.dtype)
+    else:
+        out_ref[:] = x.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
                                              "compute_dtype_name",
-                                             "interpret"))
+                                             "interpret", "approx_sin"))
 def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                      block_rows: int, compute_dtype_name: str,
-                     interpret: bool):
+                     interpret: bool, approx_sin: bool = False):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -102,9 +172,10 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
     coords_p = jnp.zeros((n_pad, d_pad), dtype=jnp.float32)
     coords_p = coords_p.at[:n, :d].set(coords.astype(jnp.float32))
 
-    # pad the scalar output lane to 128 for clean VMEM tiling
-    out_f = 128
     grid = (n_pad // block_rows,)
+    # compact blocks are (block_rows//128, 128); Mosaic requires the
+    # sublane dim divisible by 8 -> block_rows must be a multiple of 1024
+    compact = cfg.out_features == 1 and block_rows % 1024 == 0
 
     in_specs = [pl.BlockSpec((block_rows, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
@@ -115,7 +186,22 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
         operands.append(p)
 
     kernel = functools.partial(_stack_kernel, kinds=kinds, omegas=omegas,
-                               in_features=d, compute_dtype=compute_dtype)
+                               in_features=d, compute_dtype=compute_dtype,
+                               compact_out=compact, approx_sin=approx_sin)
+    if compact:
+        # scalar output packed (n_pad // 128, 128): exactly n_pad floats of
+        # HBM write instead of a 128-lane-padded (n_pad, 128) activation
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_rows // 128, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(coords_p, *operands)
+        return out.reshape(n_pad, 1)[:n]
+    out_f = 128  # lane-padded fallback (vector outputs)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, out_f), jnp.float32),
@@ -153,12 +239,19 @@ def _flatten_params(params: Params, cfg: SirenSnakeTanhConfig,
 def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                       coords: jax.Array, block_rows: int = 1024,
                       compute_dtype=jnp.float32,
-                      interpret: bool = False) -> jax.Array:
-    """Fused full-stack forward: drop-in for siren_snake_tanh_apply."""
+                      interpret: bool = False,
+                      approx_sin: bool = False) -> jax.Array:
+    """Fused full-stack forward: drop-in for siren_snake_tanh_apply.
+
+    ``approx_sin=True`` swaps jnp.sin/cos for the Cody-Waite + degree-11
+    polynomial pair (error ~1e-6 abs): decode is transcendental-bound, so
+    this trades ~-120 dB of activation noise for a large throughput gain.
+    """
     if cfg.in_features > _MAX_SMALL_IN:
         raise ValueError(
             f"fused kernel supports in_features <= {_MAX_SMALL_IN} "
             f"(raw coordinates); encoded inputs (RFF) use the XLA path")
     flat = _flatten_params(params, cfg)
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
-    return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret)
+    return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret,
+                            approx_sin)

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.siren import SirenSnakeTanhConfig
-from .pallas_siren import (_MAX_SMALL_IN, _flatten_params, _round_up,
+from .pallas_siren import (_MAX_SMALL_IN, _dot_precision, _fast_cos,
+                           _fast_sin, _flatten_params, _round_up,
                            _stack_kernel)
 
 Params = dict[str, Any]
@@ -39,8 +40,11 @@ def _layer_param_slots(kinds):
     return [3 if k == "linear_snake" else 2 for k in kinds]
 
 
-def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype):
+def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
+              approx_sin=False):
     """Recompute forward, returning per-layer (input, pre) pairs."""
+    sin_fn = _fast_sin if approx_sin else jnp.sin
+    cos_fn = _fast_cos if approx_sin else jnp.cos
     saved = []
     ri = 0
     for li, kind in enumerate(kinds):
@@ -55,14 +59,15 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype):
             pre = jax.lax.dot_general(
                 x.astype(compute_dtype), w.astype(compute_dtype),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(compute_dtype)) + b.astype(jnp.float32)
         a = None
         if kind in ("sine_first", "sine"):
-            out = jnp.sin(omegas[li] * pre)
+            out = sin_fn(omegas[li] * pre)
         elif kind == "linear_snake":
             a = refs[ri][:].astype(jnp.float32)
             ri += 1
-            out = pre + (0.5 / a) * (1.0 - jnp.cos(2.0 * a * pre))
+            out = pre + (0.5 / a) * (1.0 - cos_fn(2.0 * a * pre))
         elif kind == "linear_tanh":
             out = jnp.tanh(pre)
         else:
@@ -73,12 +78,18 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype):
 
 
 def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
-                compute_dtype, num_param_refs):
+                compute_dtype, num_param_refs, approx_sin=False):
     """Backward per tile: recompute forward, backprop, accumulate grads.
 
     refs = param refs (inputs) followed by grad output refs (same order).
     Grad outputs use constant index maps — the same VMEM block is revisited
     every grid step, so ``+=`` accumulates across the sequential grid.
+
+    The cotangent stays in the 128-lane-padded (rows, 128) layout: unlike
+    the forward output (where the padded write dominated traffic), the
+    backward is compute-bound on the in-VMEM recompute + grad matmuls, so
+    the padded read is fully overlapped and a compact repack (a
+    lane-to-sublane relayout Mosaic has no cheap op for) buys nothing.
     """
     param_refs = refs[:num_param_refs]
     grad_refs = refs[num_param_refs:]
@@ -90,9 +101,11 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
         for gr in grad_refs:
             gr[...] = jnp.zeros(gr.shape, gr.dtype)
 
+    sin_fn = _fast_sin if approx_sin else jnp.sin
+    cos_fn = _fast_cos if approx_sin else jnp.cos
     x0 = coords_ref[:].astype(jnp.float32)
     _, saved = _fwd_pres(x0, param_refs, kinds, omegas, in_features,
-                         compute_dtype)
+                         compute_dtype, approx_sin)
 
     g = g_ref[:].astype(jnp.float32)  # (rows, out_pad)
     ri = num_param_refs
@@ -107,13 +120,14 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
         gw_ref = grad_refs[base]
         gb_ref = grad_refs[base + 1]
         if kind in ("sine_first", "sine"):
-            gpre = g * (omegas[li] * jnp.cos(omegas[li] * pre))
+            gpre = g * (omegas[li] * cos_fn(omegas[li] * pre))
         elif kind == "linear_snake":
-            gpre = g * (1.0 + jnp.sin(2.0 * a * pre))
+            s2 = sin_fn(2.0 * a * pre)
+            c2 = cos_fn(2.0 * a * pre)
+            gpre = g * (1.0 + s2)
             # d/da [x + (0.5/a)(1 - cos(2ax))]:
             #   -(0.5/a^2)(1 - cos(2 a pre)) + (pre/a) sin(2 a pre)
-            ga = (-(0.5 / (a * a)) * (1.0 - jnp.cos(2.0 * a * pre))
-                  + (pre / a) * jnp.sin(2.0 * a * pre)) * g
+            ga = (-(0.5 / (a * a)) * (1.0 - c2) + (pre / a) * s2) * g
             grad_refs[base + 2][...] += jnp.sum(ga, axis=0, keepdims=True)
         elif kind == "linear_tanh":
             t = jnp.tanh(pre)
@@ -123,12 +137,14 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
         # dW = x_in^T gpre ; db = sum gpre
         gw_ref[...] += jax.lax.dot_general(
             x_in.astype(compute_dtype), gpre.astype(compute_dtype),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(compute_dtype))
         gb_ref[...] += jnp.sum(gpre, axis=0, keepdims=True)
         if li > 0:
             g = jax.lax.dot_general(
                 gpre.astype(compute_dtype), w_ref[:].astype(compute_dtype),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=_dot_precision(compute_dtype))
 
 
 def _pad_inputs(coords, block_rows):
@@ -140,9 +156,9 @@ def _pad_inputs(coords, block_rows):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
                                              "compute_dtype_name",
-                                             "interpret"))
+                                             "interpret", "approx_sin"))
 def _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
-             interpret):
+             interpret, approx_sin=False):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -151,14 +167,29 @@ def _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
                    for k in kinds)
     n, d = coords.shape
     coords_p, n_pad = _pad_inputs(coords, block_rows)
-    out_f = 128
+    # compact blocks are (block_rows//128, 128); Mosaic requires the
+    # sublane dim divisible by 8 -> block_rows must be a multiple of 1024
+    compact = cfg.out_features == 1 and block_rows % 1024 == 0
     in_specs = [pl.BlockSpec((block_rows, _MAX_SMALL_IN), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     for p in flat_params:
         in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     kernel = functools.partial(_stack_kernel, kinds=kinds, omegas=omegas,
-                               in_features=d, compute_dtype=compute_dtype)
+                               in_features=d, compute_dtype=compute_dtype,
+                               compact_out=compact, approx_sin=approx_sin)
+    if compact:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
+            grid=(n_pad // block_rows,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_rows // 128, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(coords_p, *flat_params)
+        return out.reshape(n_pad, 1)[:n]
+    out_f = 128
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, out_f), jnp.float32),
@@ -173,9 +204,9 @@ def _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
                                              "compute_dtype_name",
-                                             "interpret"))
+                                             "interpret", "approx_sin"))
 def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
-              interpret):
+              interpret, approx_sin=False):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -204,7 +235,8 @@ def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
 
     kernel = functools.partial(_bwd_kernel, kinds=kinds, omegas=omegas,
                                in_features=d, compute_dtype=compute_dtype,
-                               num_param_refs=len(flat_params))
+                               num_param_refs=len(flat_params),
+                               approx_sin=approx_sin)
     grads = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -216,25 +248,41 @@ def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
     return list(grads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _fused_stack(flat_params, coords, cfg, block_rows, compute_dtype_name,
-                 interpret):
+                 interpret, approx_sin):
     return _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
-                    interpret)
+                    interpret, approx_sin)
 
 
 def _fused_stack_fwd(flat_params, coords, cfg, block_rows,
-                     compute_dtype_name, interpret):
+                     compute_dtype_name, interpret, approx_sin):
     out = _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
-                   interpret)
+                   interpret, approx_sin)
     return out, (flat_params, coords)
 
 
+def _bwd_block_rows(cfg: SirenSnakeTanhConfig, block_rows: int) -> int:
+    """VMEM-aware backward tile size.
+
+    The backward keeps the recomputed per-layer (input, pre-activation)
+    pairs live across the reverse sweep — 2*L*(block, h) f32 — inside the
+    ~16 MB scoped VMEM budget (plus params, grads, and pipelining buffers).
+    Cap that live set at ~6 MB and keep the tile a multiple of 128.
+    """
+    n_layers = len(cfg.layer_kinds)
+    budget = 6 * 1024 * 1024
+    cap = budget // (2 * n_layers * cfg.hidden_features * 4)
+    cap = max(128, (cap // 128) * 128)
+    return min(block_rows, cap)
+
+
 def _fused_stack_bwd(cfg, block_rows, compute_dtype_name, interpret,
-                     residuals, g):
+                     approx_sin, residuals, g):
     flat_params, coords = residuals
-    grads = _backward(flat_params, coords, g, cfg, block_rows,
-                      compute_dtype_name, interpret)
+    grads = _backward(flat_params, coords, g, cfg,
+                      _bwd_block_rows(cfg, block_rows),
+                      compute_dtype_name, interpret, approx_sin)
     return list(grads), None  # flat-params grads (list pytree), no dcoords
 
 
@@ -264,9 +312,10 @@ def _unflatten_grads(flat_grads, params: Params,
 
 
 def fused_siren_train_apply(params: Params, cfg: SirenSnakeTanhConfig,
-                            coords: jax.Array, block_rows: int = 512,
+                            coords: jax.Array, block_rows: int = 1024,
                             compute_dtype=jnp.float32,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            approx_sin: bool = False) -> jax.Array:
     """Differentiable fused forward — drop-in for
     ``siren_snake_tanh_apply`` inside jax.grad/value_and_grad.
 
@@ -279,4 +328,5 @@ def fused_siren_train_apply(params: Params, cfg: SirenSnakeTanhConfig,
                          f"(in_features <= {_MAX_SMALL_IN})")
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     flat = _flatten_params(params, cfg)
-    return _fused_stack(flat, coords, cfg, block_rows, name, interpret)
+    return _fused_stack(flat, coords, cfg, block_rows, name, interpret,
+                        approx_sin)

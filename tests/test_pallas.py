@@ -66,3 +66,29 @@ def test_fused_rejects_wide_inputs():
     params = model.init(KEY)
     with pytest.raises(ValueError):
         fused_siren_apply(params, cfg, jnp.zeros((4, 256)), interpret=True)
+
+
+def test_fast_sin_cos_accuracy():
+    """Cody-Waite + degree-11 polynomial: |err| ~1e-6 abs across the
+    framework's argument range, including first-layer omega0*coord ~ 2e4
+    and WaveformFittingExp's scale=100 coords at omega ~ 3e3."""
+    from inraudio_tpu.ops.pallas_siren import _fast_cos, _fast_sin
+    for lo, hi in ((-np.pi, np.pi), (-100.0, 100.0), (-22000.0, 22000.0),
+                   (-3e5, 3e5)):
+        x = jnp.asarray(np.random.default_rng(0).uniform(lo, hi, 200_000),
+                        jnp.float32)
+        es = float(jnp.max(jnp.abs(_fast_sin(x) - jnp.sin(x))))
+        ec = float(jnp.max(jnp.abs(_fast_cos(x) - jnp.cos(x))))
+        assert es < 2e-5 and ec < 2e-5, (lo, hi, es, ec)
+
+
+def test_fused_apply_approx_sin_close():
+    cfg = SirenSnakeTanhConfig(first_omega_0=22000.0, hidden_features=128,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    coords = jnp.linspace(-1, 1, 700).reshape(-1, 1)
+    ref = model.apply(params, coords)
+    out = fused_siren_apply(params, cfg, coords, block_rows=256,
+                            interpret=True, approx_sin=True)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-3
