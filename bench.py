@@ -96,7 +96,7 @@ def bench_multi() -> float:
         chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.25")),
         overlap_fraction=float(os.environ.get("BENCH_OVERLAP", "0.1")))
     model_cfg = SirenSnakeTanhConfig(
-        first_omega_0=float(os.environ.get("BENCH_OMEGA", "2000")),
+        first_omega_0=float(os.environ.get("BENCH_OMEGA", "1800")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "128")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))
@@ -106,7 +106,7 @@ def bench_multi() -> float:
     approx = os.environ.get("BENCH_APPROX_SIN", "1") == "1" and fused
     model = build_model("mlp", model_cfg, fused=fused, approx_sin=approx)
     tc = TrainConfig(total_steps=MAX_STEPS, scan_chunk=ROUND_STEPS,
-                     learning_rate=float(os.environ.get("BENCH_LR", "1e-3")))
+                     learning_rate=float(os.environ.get("BENCH_LR", "7e-4")))
 
     chunks, n, hop = chunk_signal(signal, fs, mc)
     k = chunks.shape[0]
@@ -150,12 +150,25 @@ def bench_multi() -> float:
     res = MultiINRResult(states=states, chunk_scales=scales, chunk_length=n,
                          hop=hop, num_chunks=k, signal_length=len(signal),
                          loss_history=np.zeros((1, k)), train_time_s=train_time)
-    rec = multi_inr_decode(model, res)
+    if fused:
+        # decode with the fused INFERENCE kernel (no VJP plumbing).  f32
+        # matmuls: bf16 decode of a trained model caps reconstruction near
+        # 43 dB (measured — bf16's ~0.4% input rounding), so the fast-decode
+        # dtype stays f32; polynomial sin is fine (~1e-6).
+        from inraudio_tpu.models import INRModel
+        from inraudio_tpu.ops.pallas_siren import fused_siren_apply
+        decode_model = INRModel(
+            name=model.name + "_decode", config=model_cfg, init=model.init,
+            apply=lambda p, c: fused_siren_apply(
+                p, model_cfg, c, block_rows=2048, approx_sin=True))
+    else:
+        decode_model = model
+    rec = multi_inr_decode(decode_model, res)
     snr = float(calculate_snr(signal, rec))
 
     # decode throughput: the vmapped dense eval over every chunk
     params = res.states.best_params
-    decode = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    decode = jax.jit(jax.vmap(lambda p: decode_model.apply(p, coords)))
     msps = measure_decode(decode, (params,), k * n)
     log(f"steps/sec: {steps / max(train_time, 1e-9):.1f}  "
         f"decode: {msps:.1f} Msamples/s  SNR: {snr:.2f} dB in "

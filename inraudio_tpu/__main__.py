@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     fit.add_argument("--prev-ckpt-path", default=None)
     fit.add_argument("--seed", type=int, default=0)
     fit.add_argument("--no-plots", action="store_true")
+    fit.add_argument("--fused", action="store_true",
+                     help="Pallas fused kernel + polynomial sin (TPU only)")
     fit.add_argument("--visualization", action="store_true")
 
     args = ap.parse_args(argv)

@@ -71,16 +71,22 @@ def build_arch(arch: str, in_features: int, hidden: int, num_sine: int,
                num_snake: int, num_tanh: int, omega: float,
                hidden_omega: float, a_initial: float | None,
                first_linear: bool = False,
-               last_linear: bool = True) -> INRModel:
+               last_linear: bool = True,
+               fused: bool = False) -> INRModel:
     """Arch dispatch (run.py:92-113): 'mlp' -> SirenWithSnakeTanh recipe,
-    'kan' -> KAN([in, hidden, hidden, 1])."""
+    'kan' -> KAN([in, hidden, hidden, 1]).
+
+    ``fused=True`` (TPU only) routes the mlp through the Pallas full-stack
+    kernel with polynomial sin — ~1.8x training, ~3x decode (BASELINE.md).
+    Encoded inputs (RFF, in_features > 8) fall back to the XLA path."""
     if arch == "mlp":
+        fused = fused and in_features <= 8
         return build_model("mlp", SirenSnakeTanhConfig(
             in_features=in_features, hidden_features=hidden,
             num_sine=num_sine, num_snake=num_snake, num_tanh=num_tanh,
             first_linear=first_linear, last_linear=last_linear,
             first_omega_0=omega, hidden_omega_0=hidden_omega,
-            a_initial=a_initial))
+            a_initial=a_initial), fused=fused, approx_sin=fused)
     if arch == "kan":
         return build_model("kan", KANConfig(
             layers_hidden=(in_features, hidden, hidden, 1)))
@@ -101,6 +107,7 @@ def _run_experiment(
     bwe: bool, prev_ckpt_path: str | None, key: jax.Array,
     make_plots: bool, track_best: bool, visualization: bool,
     hparams: dict[str, Any],
+    fused: bool = False,
 ) -> dict[str, Any]:
     """Shared engine behind train/train_from_signal."""
     # --- model + optional RFF input encoding (run.py:81-82,141-144)
@@ -114,7 +121,7 @@ def _run_experiment(
         rff_b, encode, in_features = None, None, problem.in_features
         enc_coords = problem.coords
     model = build_arch(arch, in_features, hidden, num_sine, num_snake,
-                       num_tanh, omega, hidden_omega, a_initial)
+                       num_tanh, omega, hidden_omega, a_initial, fused=fused)
 
     cfg = TrainConfig(total_steps=total_steps, learning_rate=learning_rate,
                       min_learning_rate=min_learning_rate,
@@ -238,7 +245,8 @@ def train(experiment_path: str,
           seed: int = 0,
           make_plots: bool = True,
           visualization: bool = False,
-          track_best: bool = True) -> str:
+          track_best: bool = True,
+          fused: bool = False) -> str:
     """File-based experiment (reference run.py:30-400). Returns the
     checkpoint path (run.py:400) for procedural chaining.
 
@@ -275,7 +283,8 @@ def train(experiment_path: str,
         learning_rate=learning_rate, min_learning_rate=min_learning_rate,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
-        track_best=track_best, visualization=visualization, hparams=hparams)
+        track_best=track_best, visualization=visualization, hparams=hparams,
+        fused=fused)
     return out["ckpt"]
 
 
@@ -306,7 +315,8 @@ def train_from_signal(experiment_path: str,
                       seed: int = 0,
                       make_plots: bool = True,
                       visualization: bool = False,
-                      track_best: bool = True) -> dict[str, Any]:
+                      track_best: bool = True,
+                      fused: bool = False) -> dict[str, Any]:
     """In-memory experiment (reference run_experimental.py:30-327): coords
     span [-100, 100] by default (utils.py:172), the decode is de-normalised
     by the stored peak, and the residual ``input - recovered`` is returned
@@ -333,5 +343,6 @@ def train_from_signal(experiment_path: str,
         learning_rate=learning_rate, min_learning_rate=min_learning_rate,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
-        track_best=track_best, visualization=visualization, hparams=hparams)
+        track_best=track_best, visualization=visualization, hparams=hparams,
+        fused=fused)
     return out
