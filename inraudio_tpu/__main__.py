@@ -52,6 +52,26 @@ def main(argv=None) -> int:
                      help="Pallas fused kernel + polynomial sin (TPU only)")
     fit.add_argument("--visualization", action="store_true")
 
+    enc = sub.add_parser(
+        "encode", help="compress a wav into an .inr.npz (multi-INR codec)")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--output", required=True)
+    enc.add_argument("--chunk-s", type=float, default=0.25)
+    enc.add_argument("--overlap", type=float, default=0.1)
+    enc.add_argument("--hidden", type=int, default=128)
+    enc.add_argument("--omega", type=float, default=1800.0)
+    enc.add_argument("--learning-rate", type=float, default=7e-4)
+    enc.add_argument("--total-steps", type=int, default=3000)
+    enc.add_argument("--quantize", default="float16",
+                     choices=["none", "float16", "bfloat16", "int8"])
+    enc.add_argument("--fused", action="store_true",
+                     help="Pallas fused kernel (TPU only)")
+
+    dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
+    dec.add_argument("--input", required=True)
+    dec.add_argument("--output", required=True)
+    dec.add_argument("--fused", action="store_true")
+
     args = ap.parse_args(argv)
     if args.cmd == "fit":
         from .experiments import train
@@ -60,6 +80,33 @@ def main(argv=None) -> int:
         kw["make_plots"] = not args.no_plots
         ckpt = train(args.experiment_path, args.tag, **kw)
         print(json.dumps({"ckpt": ckpt}))
+    elif args.cmd == "encode":
+        import numpy as np
+        from .codec import CodecConfig, compression_stats, encode, save_inr
+        from .data.audio_io import read_wav
+        from .dsp import calculate_snr
+        from .codec import decode as _dec
+        fs, sig = read_wav(args.input, channel=0)
+        payload = encode(sig.astype(np.float32), fs, CodecConfig(
+            chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
+            hidden_features=args.hidden, first_omega_0=args.omega,
+            learning_rate=args.learning_rate, total_steps=args.total_steps,
+            quantize=None if args.quantize == "none" else args.quantize,
+            fused=args.fused))
+        path = save_inr(args.output, payload)
+        _, rec = _dec(payload)
+        stats = compression_stats(payload)
+        stats["snr_db"] = round(float(calculate_snr(
+            sig.astype(np.float32), rec)), 3)
+        stats["path"] = path
+        print(json.dumps(stats))
+    elif args.cmd == "decode":
+        from .codec import decode as _dec, load_inr
+        from .data.audio_io import write_wav
+        fs, rec = _dec(load_inr(args.input), fused=args.fused)
+        write_wav(args.output, fs, rec)
+        print(json.dumps({"path": args.output, "sample_rate": fs,
+                          "samples": int(len(rec))}))
     return 0
 
 

@@ -1,0 +1,200 @@
+"""Audio <-> INR codec: the end-user surface of "the weights ARE the audio".
+
+The reference's whole premise is that an overfit network is a compressed
+representation of one clip (README.md:1-3), but it never ships an actual
+encode/decode pair — artifacts are experiment folders.  This module is that
+pair, built on the framework's fastest path:
+
+- ``encode``: split the clip into windows (multi-INR, train/multi_inr.py),
+  fit every window simultaneously in one vmapped jitted scan, snapshot each
+  window's best parameters, optionally quantize (float16 / bfloat16 / int8,
+  models/quantize.py), and pack everything into a single .npz payload.
+- ``decode``: rebuild the model from the stored config, dense-evaluate every
+  window (one vmapped forward), de-quantize + de-normalise, and stitch with
+  the crossfade overlap-add.
+
+The payload is self-describing: architecture + chunking metadata ride along,
+so decode needs nothing but the file.  Compression ratio is reported against
+16-bit PCM, the reference's implicit baseline format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.coords import get_coord
+from .models import (INRModel, SirenSnakeTanhConfig, build_model,
+                     dequantize_params, param_bytes, quantize_params)
+from .train.loop import TrainConfig
+from .train.multi_inr import MultiINRConfig, multi_inr_decode, multi_inr_fit
+
+_FORMAT = "inraudio_tpu.inr.v1"
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Encode-side knobs; the decoded side reads everything from the file."""
+
+    chunk_seconds: float = 0.25
+    overlap_fraction: float = 0.1
+    hidden_features: int = 128
+    num_sine: int = 2
+    num_snake: int = 2
+    first_omega_0: float = 1800.0
+    hidden_omega_0: float = 30.0
+    learning_rate: float = 7e-4
+    total_steps: int = 3000
+    quantize: str | None = "float16"   # None | float16 | bfloat16 | int8
+    fused: bool = False                # Pallas path (TPU only)
+    seed: int = 0
+
+
+def encode(signal: np.ndarray, sample_rate: int,
+           cfg: CodecConfig | None = None) -> dict[str, Any]:
+    """Fit the multi-INR and return the codec payload (in-memory dict).
+
+    Keys: 'meta' (json-able header), 'scales' (k,), and per-leaf arrays of
+    the stacked per-chunk parameter pytree (quantized if requested).
+    """
+    cfg = cfg or CodecConfig()
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=cfg.hidden_features, num_sine=cfg.num_sine,
+        num_snake=cfg.num_snake, first_omega_0=cfg.first_omega_0,
+        hidden_omega_0=cfg.hidden_omega_0)
+    model = build_model("mlp", model_cfg, fused=cfg.fused,
+                        approx_sin=cfg.fused)
+    res = multi_inr_fit(
+        model, np.asarray(signal, np.float32), sample_rate,
+        MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
+                       overlap_fraction=cfg.overlap_fraction),
+        TrainConfig(total_steps=cfg.total_steps,
+                    learning_rate=cfg.learning_rate),
+        key=jax.random.PRNGKey(cfg.seed))
+
+    # best params per chunk, real chunks only
+    params = jax.tree.map(lambda x: np.asarray(x)[: res.num_chunks],
+                          jax.device_get(res.states.best_params))
+    stored = quantize_params(params, cfg.quantize) if cfg.quantize else params
+
+    meta = {
+        "format": _FORMAT,
+        "sample_rate": int(sample_rate),
+        "signal_length": int(res.signal_length),
+        "chunk_length": int(res.chunk_length),
+        "hop": int(res.hop),
+        "num_chunks": int(res.num_chunks),
+        "quantize": cfg.quantize,
+        "model": {
+            "hidden_features": cfg.hidden_features,
+            "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,
+            "first_omega_0": cfg.first_omega_0,
+            "hidden_omega_0": cfg.hidden_omega_0,
+        },
+    }
+    return {"meta": meta, "scales": res.chunk_scales.astype(np.float32),
+            "params": stored}
+
+
+def decode(payload: dict[str, Any], fused: bool = False
+           ) -> tuple[int, np.ndarray]:
+    """Payload -> (sample_rate, waveform). Inverse of ``encode``."""
+    meta = payload["meta"]
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"not an {_FORMAT} payload")
+    m = meta["model"]
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
+        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
+        hidden_omega_0=m["hidden_omega_0"])
+    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
+    params = payload["params"]
+    if meta.get("quantize"):
+        params = dequantize_params(params)
+    params = jax.tree.map(jnp.asarray, params)
+
+    n, hop, k = meta["chunk_length"], meta["hop"], meta["num_chunks"]
+    coords = jnp.asarray(get_coord(n, dim=1))
+    outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
+    outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
+
+    overlap = n - hop
+    from .train.multi_inr import _crossfade_window
+    w = _crossfade_window(n, overlap)
+    total = (k - 1) * hop + n
+    acc = np.zeros(total, dtype=np.float64)
+    den = np.zeros(total, dtype=np.float64)
+    for i in range(k):
+        acc[i * hop: i * hop + n] += outs[i] * w
+        den[i * hop: i * hop + n] += w
+    out = (acc / np.maximum(den, 1e-12)).astype(np.float32)
+    return meta["sample_rate"], out[: meta["signal_length"]]
+
+
+def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:
+    arrays = {"__meta__": np.frombuffer(
+        json.dumps(payload["meta"]).encode("utf-8"), dtype=np.uint8),
+        "scales": payload["scales"]}
+    leaves, treedef = jax.tree_util.tree_flatten(payload["params"])
+    arrays["__nleaves__"] = np.asarray(len(leaves))
+    for i, leaf in enumerate(leaves):
+        leaf = np.asarray(leaf)
+        if leaf.dtype == jnp.bfloat16:
+            # npz round-trips bfloat16 as an opaque void dtype; store the
+            # raw bits as uint16 and view back at load (template-typed)
+            leaf = leaf.view(np.uint16)
+        arrays[f"leaf_{i:05d}"] = leaf
+    return arrays
+
+
+def save_inr(path: str, payload: dict[str, Any]) -> str:
+    """Write the payload as one compressed .npz; returns the path."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez_compressed(path, **_flatten_payload(payload))
+    return path
+
+
+def load_inr(path: str) -> dict[str, Any]:
+    """Read a payload written by ``save_inr``.
+
+    The parameter treedef is reconstructed from the stored model config
+    (same rebuild-then-pour recipe as train/checkpoint.py).
+    """
+    with np.load(path, allow_pickle=False) as f:
+        meta = json.loads(bytes(f["__meta__"]).decode("utf-8"))
+        scales = f["scales"]
+        leaves = [f[f"leaf_{i:05d}"] for i in range(int(f["__nleaves__"]))]
+    m = meta["model"]
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
+        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
+        hidden_omega_0=m["hidden_omega_0"])
+    model = build_model("mlp", model_cfg)
+    template = jax.vmap(model.init)(
+        jax.random.split(jax.random.PRNGKey(0), meta["num_chunks"]))
+    if meta.get("quantize"):
+        template = quantize_params(template, meta["quantize"])
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(t_leaves) != len(leaves):
+        raise ValueError("leaf count mismatch — corrupted payload")
+    leaves = [l.view(np.dtype(jnp.bfloat16))
+              if np.asarray(tl).dtype == jnp.bfloat16 else l
+              for tl, l in zip(t_leaves, leaves)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return {"meta": meta, "scales": scales, "params": params}
+
+
+def compression_stats(payload: dict[str, Any]) -> dict[str, float]:
+    """Bytes, bits/sample, and ratio vs 16-bit PCM."""
+    nbytes = param_bytes(payload["params"]) + payload["scales"].nbytes
+    n = payload["meta"]["signal_length"]
+    pcm16 = 2 * n
+    return {"param_bytes": float(nbytes),
+            "bits_per_sample": 8.0 * nbytes / n,
+            "ratio_vs_pcm16": pcm16 / nbytes}

@@ -1,0 +1,62 @@
+"""Audio <-> INR codec: encode/decode round trip, file format, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from inraudio_tpu.codec import (CodecConfig, compression_stats, decode,
+                                encode, load_inr, save_inr)
+
+FS = 4000
+
+
+def _sig(seconds=0.5, f=220.0):
+    t = np.arange(int(seconds * FS)) / FS
+    return (0.7 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+SMALL = CodecConfig(chunk_seconds=0.1, hidden_features=32,
+                    first_omega_0=200.0, total_steps=400,
+                    learning_rate=1e-3, quantize=None)
+
+
+def test_encode_decode_roundtrip_snr():
+    sig = _sig()
+    payload = encode(sig, FS, SMALL)
+    fs, rec = decode(payload)
+    assert fs == FS and len(rec) == len(sig)
+    snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+    assert snr > 25, snr
+
+
+@pytest.mark.parametrize("mode", ["float16", "bfloat16", "int8"])
+def test_quantized_file_roundtrip(tmp_path, mode):
+    sig = _sig(0.3)
+    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": mode})
+    payload = encode(sig, FS, cfg)
+    path = save_inr(str(tmp_path / "x.inr"), payload)
+    loaded = load_inr(path)
+    fs, rec = decode(loaded)
+    fs0, rec0 = decode(payload)
+    np.testing.assert_allclose(rec, rec0, atol=1e-6)
+    stats = compression_stats(payload)
+    # fp16/bf16 halve fp32; int8 quarter-ish. 16 bits/param over ~3.4k
+    # params per 400 samples/chunk is >1 bit/sample; just sanity-check
+    assert stats["param_bytes"] > 0 and stats["bits_per_sample"] > 0
+
+
+def test_cli_encode_decode(tmp_path):
+    from inraudio_tpu.__main__ import main
+    from inraudio_tpu.data.audio_io import write_wav
+    wav = str(tmp_path / "in.wav")
+    write_wav(wav, FS, _sig(0.25))
+    out = str(tmp_path / "c.inr.npz")
+    rc = main(["encode", "--input", wav, "--output", out,
+               "--chunk-s", "0.1", "--hidden", "32", "--omega", "200",
+               "--total-steps", "200", "--quantize", "float16"])
+    assert rc == 0 and os.path.exists(out)
+    dec = str(tmp_path / "out.wav")
+    rc = main(["decode", "--input", out, "--output", dec])
+    assert rc == 0 and os.path.exists(dec)
