@@ -48,12 +48,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dot_precision(compute_dtype):
-    """f32 kernel matmuls must be EXACT: Mosaic's default f32 matmul is a
-    single bf16 pass (~1e-3 relative error), which measurably degrades both
-    gradients and fit SNR.  bf16 inputs keep the default (that IS the
-    requested precision)."""
-    return (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
-            else None)
+    """f32 kernel matmuls must NOT be Mosaic's default (a single bf16 pass,
+    ~1e-3 relative error — measurably degrades both gradients and fit SNR).
+    Default HIGHEST (exact, 6 passes); INRAUDIO_F32_PRECISION=high selects
+    the 3-pass bf16x3 variant (~2x matmul throughput, ~f32-ish accuracy).
+    bf16 inputs keep the default (that IS the requested precision)."""
+    import os
+    if compute_dtype != jnp.float32:
+        return None
+    if os.environ.get("INRAUDIO_F32_PRECISION", "highest") == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
 
 
 # Odd least-squares polynomial for sin on [-pi, pi], degree 11,

@@ -29,7 +29,8 @@ from ..models import INRModel
 from ..parallel.mesh import make_mesh, replicated_sharding, shard_problem_arrays
 from .losses import mix_loss
 from .optim import (AdamConfig, AdamState, PlateauConfig, PlateauState,
-                    adam_init, adam_update, plateau_init, plateau_update)
+                    adam_init, adam_update, clip_by_global_norm,
+                    plateau_init, plateau_update)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,9 @@ class TrainConfig:
     plateau_factor: float = 0.8
     plateau_patience: int = 200
     log_every: int = 1  # history stride; 1 = per-step like the reference
+    # Optional global-norm gradient clipping (0 = off, the reference has
+    # none).  Stabilises multi-INR chunk populations at aggressive lrs.
+    grad_clip_norm: float = 0.0
     # Steps per jitted lax.scan dispatch. The full loop is a host loop over
     # scan chunks: on TPU the chunk is large (dispatch overhead amortised to
     # nothing); it also keeps each device executable short, which matters on
@@ -112,6 +116,8 @@ def make_train_step(model: INRModel, cfg: TrainConfig):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, coords,
                                                   targets, weight)
         loss = loss.astype(jnp.float32)
+        if cfg.grad_clip_norm > 0:
+            grads = clip_by_global_norm(grads, cfg.grad_clip_norm)
         new_params, opt = adam_update(state.opt, grads, state.params, adam_cfg)
         plateau, new_lr = plateau_update(state.plateau, loss, opt.lr,
                                          plateau_cfg)

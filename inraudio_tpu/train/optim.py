@@ -59,6 +59,18 @@ def adam_init(params: Any, cfg: AdamConfig) -> AdamState:
                      lr=jnp.float32(cfg.lr))
 
 
+def clip_by_global_norm(grads: Any, max_norm: float) -> Any:
+    """Scale the gradient pytree so its global L2 norm is <= max_norm.
+
+    Tames the occasional diverging chunk in multi-INR fits (a few chunks
+    blow up at learning rates every other chunk likes) without changing
+    well-behaved updates."""
+    sq = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+    norm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-20))
+    return jax.tree.map(lambda g: g * scale, grads)
+
+
 def adam_update(state: AdamState, grads: Any, params: Any,
                 cfg: AdamConfig) -> tuple[Any, AdamState]:
     step = state.step + 1

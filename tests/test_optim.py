@@ -87,3 +87,31 @@ class TestPlateauParity:
         np.testing.assert_allclose(self._run_ours(losses, patience=30),
                                    self._run_torch(losses, patience=30),
                                    rtol=1e-6)
+
+
+def test_clip_by_global_norm():
+    from inraudio_tpu.train.optim import clip_by_global_norm
+    g = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([0.0])}  # norm 5
+    c = clip_by_global_norm(g, 1.0)
+    norm = float(jnp.sqrt(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(c))))
+    np.testing.assert_allclose(norm, 1.0, rtol=1e-6)
+    # below the cap -> unchanged
+    c2 = clip_by_global_norm(g, 10.0)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(c2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_grad_clip_in_train_step():
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    from inraudio_tpu.train import TrainConfig
+    from inraudio_tpu.train.loop import init_train_state, make_train_step
+    cfg = TrainConfig(total_steps=1, grad_clip_norm=1e-6)  # crush updates
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        first_omega_0=30.0, hidden_features=16, num_sine=1, num_snake=0))
+    st = init_train_state(model, jax.random.PRNGKey(0), cfg)
+    coords = jnp.linspace(-1, 1, 64).reshape(-1, 1)
+    targets = jnp.sin(3 * coords)
+    new_st, _ = make_train_step(model, cfg)(st, coords, targets)
+    # with the clip at 1e-6 the params barely move
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(new_st.params)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-2
