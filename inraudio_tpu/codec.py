@@ -49,6 +49,7 @@ class CodecConfig:
     first_omega_0: float = 1800.0
     hidden_omega_0: float = 30.0
     learning_rate: float = 7e-4
+    grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
     quantize: str | None = "float16"   # None | float16 | bfloat16 | int8
     fused: bool = False                # Pallas path (TPU only)
@@ -74,7 +75,8 @@ def encode(signal: np.ndarray, sample_rate: int,
         MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
                        overlap_fraction=cfg.overlap_fraction),
         TrainConfig(total_steps=cfg.total_steps,
-                    learning_rate=cfg.learning_rate),
+                    learning_rate=cfg.learning_rate,
+                    grad_clip_norm=cfg.grad_clip_norm),
         key=jax.random.PRNGKey(cfg.seed))
 
     # best params per chunk, real chunks only
