@@ -47,18 +47,43 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dot_precision(compute_dtype):
+def _f32_dot_mode() -> str:
     """f32 kernel matmuls must NOT be Mosaic's default (a single bf16 pass,
     ~1e-3 relative error — measurably degrades both gradients and fit SNR).
-    Default HIGHEST (exact, 6 passes); INRAUDIO_F32_PRECISION=high selects
-    the 3-pass bf16x3 variant (~2x matmul throughput, ~f32-ish accuracy).
-    bf16 inputs keep the default (that IS the requested precision)."""
+    Default 'bf16x3': a hand-rolled 3-pass split (see ``_kernel_dot``),
+    ~21-bit effective mantissa at ~2x the throughput of the exact 6-pass
+    matmul — measured on the headline bench it trains to the SAME final
+    SNR as 'highest' with ~1.4x the steps (BASELINE.md).
+    INRAUDIO_F32_PRECISION=highest selects the exact 6-pass matmul."""
     import os
+    return os.environ.get("INRAUDIO_F32_PRECISION", "bf16x3")
+
+
+def _kernel_dot(x, w, dims, compute_dtype):
+    """dot_general for the kernels with explicit f32 precision handling.
+
+    bf16 inputs: single MXU pass (that IS the requested precision).
+    f32 inputs: 'highest' -> exact 6-pass matmul; 'bf16x3' -> split each
+    operand into bf16 high + low halves and take the three significant
+    cross products (hi*hi + hi*lo + lo*hi) with f32 accumulation — Mosaic
+    has no Precision.HIGH lowering, so the classic bf16x3 decomposition is
+    done by hand.
+    """
     if compute_dtype != jnp.float32:
-        return None
-    if os.environ.get("INRAUDIO_F32_PRECISION", "highest") == "high":
-        return jax.lax.Precision.HIGH
-    return jax.lax.Precision.HIGHEST
+        return jax.lax.dot_general(
+            x.astype(compute_dtype), w.astype(compute_dtype), dims,
+            preferred_element_type=jnp.float32)
+    if _f32_dot_mode() == "bf16x3":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
+    return jax.lax.dot_general(x, w, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 # Odd least-squares polynomial for sin on [-pi, pi], degree 11,
@@ -135,11 +160,8 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
             for d in range(in_features):
                 pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
         else:
-            xin = x.astype(compute_dtype)
-            pre = jax.lax.dot_general(
-                xin, w.astype(compute_dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_dot_precision(compute_dtype)) + b.astype(jnp.float32)
+            pre = _kernel_dot(x, w[:], (((1,), (0,)), ((), ())),
+                              compute_dtype) + b.astype(jnp.float32)
         if kind in ("sine_first", "sine"):
             x = sin_fn(omegas[li] * pre)
         elif kind == "linear_snake":

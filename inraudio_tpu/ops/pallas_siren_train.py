@@ -28,8 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.siren import SirenSnakeTanhConfig
-from .pallas_siren import (_MAX_SMALL_IN, _dot_precision, _fast_cos,
-                           _fast_sin, _flatten_params, _round_up,
+from .pallas_siren import (_MAX_SMALL_IN, _fast_cos, _fast_sin,
+                           _flatten_params, _kernel_dot, _round_up,
                            _stack_kernel)
 
 Params = dict[str, Any]
@@ -56,11 +56,8 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
             for d in range(in_features):
                 pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
         else:
-            pre = jax.lax.dot_general(
-                x.astype(compute_dtype), w.astype(compute_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_dot_precision(compute_dtype)) + b.astype(jnp.float32)
+            pre = _kernel_dot(x, w, (((1,), (0,)), ((), ())),
+                              compute_dtype) + b.astype(jnp.float32)
         a = None
         if kind in ("sine_first", "sine"):
             out = sin_fn(omegas[li] * pre)
@@ -135,16 +132,12 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
         else:  # linear_last
             gpre = g
         # dW = x_in^T gpre ; db = sum gpre
-        gw_ref[...] += jax.lax.dot_general(
-            x_in.astype(compute_dtype), gpre.astype(compute_dtype),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=_dot_precision(compute_dtype))
+        gw_ref[...] += _kernel_dot(x_in, gpre, (((0,), (0,)), ((), ())),
+                                   compute_dtype)
         gb_ref[...] += jnp.sum(gpre, axis=0, keepdims=True)
         if li > 0:
-            g = jax.lax.dot_general(
-                gpre.astype(compute_dtype), w_ref[:].astype(compute_dtype),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=_dot_precision(compute_dtype))
+            g = _kernel_dot(gpre, w_ref[:], (((1,), (1,)), ((), ())),
+                            compute_dtype)
 
 
 def _pad_inputs(coords, block_rows):
