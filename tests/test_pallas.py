@@ -92,3 +92,37 @@ def test_fused_apply_approx_sin_close():
     out = fused_siren_apply(params, cfg, coords, block_rows=256,
                             interpret=True, approx_sin=True)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-3
+
+
+def test_kernel_dot_bf16x3_accuracy():
+    """The hand-rolled 3-pass split keeps ~21 effective mantissa bits —
+    orders of magnitude tighter than a single bf16 pass (~8 bits)."""
+    from inraudio_tpu.ops.pallas_siren import _kernel_dot
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 128)), jnp.float32)
+    exact = np.asarray(x, np.float64) @ np.asarray(w, np.float64)
+    import os
+    old = os.environ.get("INRAUDIO_F32_PRECISION")
+    try:
+        os.environ["INRAUDIO_F32_PRECISION"] = "bf16x3"
+        out3 = np.asarray(_kernel_dot(x, w, (((1,), (0,)), ((), ())),
+                                      jnp.float32), np.float64)
+        os.environ["INRAUDIO_F32_PRECISION"] = "highest"
+        outh = np.asarray(_kernel_dot(x, w, (((1,), (0,)), ((), ())),
+                                      jnp.float32), np.float64)
+    finally:
+        if old is None:
+            os.environ.pop("INRAUDIO_F32_PRECISION", None)
+        else:
+            os.environ["INRAUDIO_F32_PRECISION"] = old
+    scale = np.max(np.abs(exact))
+    err3 = np.max(np.abs(out3 - exact)) / scale
+    errh = np.max(np.abs(outh - exact)) / scale
+    single = np.asarray(
+        x.astype(jnp.bfloat16).astype(jnp.float32) @
+        w.astype(jnp.bfloat16).astype(jnp.float32), np.float64)
+    err1 = np.max(np.abs(single - exact)) / scale
+    assert err3 < 2e-5, err3          # ~21-bit
+    assert errh < 5e-7, errh          # f32 rounding
+    assert err1 > 50 * err3, (err1, err3)  # one pass is far worse
