@@ -201,13 +201,15 @@ def bench_full() -> float:
     cfg = TrainConfig(
         total_steps=MAX_STEPS,
         learning_rate=float(os.environ.get("BENCH_LR", "1e-3")),
-        scan_chunk=ROUND_STEPS)
+        scan_chunk=ROUND_STEPS,
+        grad_clip_norm=float(os.environ.get("BENCH_CLIP", "0.0")))
     model_cfg = SirenSnakeTanhConfig(
         first_omega_0=float(os.environ.get("BENCH_OMEGA", "22000")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "256")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))
-    model = build_model("mlp", model_cfg)
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
 
     mesh = make_mesh()
     coords_d, targets_d, weight_d, _ = shard_problem_arrays(
