@@ -11,11 +11,11 @@ default workload is 20k full-batch Adam steps on a single GPU, run.py:30).
 vs_baseline >= 1.0 means the target is met or beaten.
 
 Default recipe (BENCH_MODE=multi): the framework's chunk-parallel multi-INR
-path — the clip splits into 0.1 s windows, one SirenWithSnakeTanh (h=128,
-omega0=800) per window, ALL windows trained simultaneously as one vmapped
+path — the clip splits into 0.05 s windows, one SirenWithSnakeTanh (h=128,
+omega0=500) per window, ALL windows trained simultaneously as one vmapped
 jitted scan with global-norm grad clipping (chunk axis = batch axis on the
 MXU; shards across chips on a multi-chip mesh), fused Pallas kernels,
-decoded with crossfade overlap-add.  Reaches ~90+ dB on one v5e chip vs
+decoded with crossfade overlap-add.  Reaches ~110 dB on one v5e chip vs
 0 dB for the reference's single full-batch model at omega0=22000 (which is
 frozen at signal power for its first thousands of steps).  BENCH_MODE=full
 runs that reference-style full-batch fit instead; see BASELINE.md for the
@@ -95,10 +95,10 @@ def bench_multi() -> float:
     log(f"fit target: {len(signal)} samples @ {fs} Hz, multi-INR")
 
     mc = MultiINRConfig(
-        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.1")),
+        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.05")),
         overlap_fraction=float(os.environ.get("BENCH_OVERLAP", "0.1")))
     model_cfg = SirenSnakeTanhConfig(
-        first_omega_0=float(os.environ.get("BENCH_OMEGA", "1000")),
+        first_omega_0=float(os.environ.get("BENCH_OMEGA", "500")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "128")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))

@@ -260,11 +260,12 @@ def _bwd_block_rows(cfg: SirenSnakeTanhConfig, block_rows: int) -> int:
 
     The backward keeps the recomputed per-layer (input, pre-activation)
     pairs live across the reverse sweep — 2*L*(block, h) f32 — inside the
-    ~16 MB scoped VMEM budget (plus params, grads, and pipelining buffers).
-    Cap that live set at ~6 MB and keep the tile a multiple of 128.
+    ~16 MB scoped VMEM budget (plus params, grads, cotangent blocks and
+    pipelining buffers).  Cap the live set at ~4 MB (measured: 6 MB still
+    overflows at h=160 under vmap) and keep the tile a multiple of 128.
     """
     n_layers = len(cfg.layer_kinds)
-    budget = 6 * 1024 * 1024
+    budget = 4 * 1024 * 1024
     cap = budget // (2 * n_layers * cfg.hidden_features * 4)
     cap = max(128, (cap // 128) * 128)
     return min(block_rows, cap)
