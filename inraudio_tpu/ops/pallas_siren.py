@@ -47,6 +47,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block_rows(n: int, requested: int) -> int:
+    """Tile size (multiple of 1024, for the compact-output layout) that
+    minimises row padding: a 2205-row chunk at block 2048 pads to 4096
+    (86% wasted compute); block 1024 pads to 3072.  Ties prefer the larger
+    tile (fewer grid steps)."""
+    candidates = [b for b in (1024, 2048, 4096) if b <= max(requested, 1024)]
+    return min(candidates, key=lambda b: (_round_up(max(n, b), b), -b))
+
+
 def _f32_dot_mode() -> str:
     """f32 kernel matmuls must NOT be Mosaic's default (a single bf16 pass,
     ~1e-3 relative error — measurably degrades both gradients and fit SNR).
@@ -278,6 +287,7 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
         raise ValueError(
             f"fused kernel supports in_features <= {_MAX_SMALL_IN} "
             f"(raw coordinates); encoded inputs (RFF) use the XLA path")
+    block_rows = _pick_block_rows(coords.shape[0], block_rows)
     flat = _flatten_params(params, cfg)
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret,

@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.siren import SirenSnakeTanhConfig
 from .pallas_siren import (_MAX_SMALL_IN, _fast_cos, _fast_sin,
-                           _flatten_params, _kernel_dot, _round_up,
-                           _stack_kernel)
+                           _flatten_params, _kernel_dot, _pick_block_rows,
+                           _round_up, _stack_kernel)
 
 Params = dict[str, Any]
 
@@ -321,6 +321,7 @@ def fused_siren_train_apply(params: Params, cfg: SirenSnakeTanhConfig,
         raise ValueError("fused train kernel supports raw coordinates only "
                          f"(in_features <= {_MAX_SMALL_IN})")
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    block_rows = _pick_block_rows(coords.shape[0], block_rows)
     flat = _flatten_params(params, cfg)
     return _fused_stack(flat, coords, cfg, block_rows, name, interpret,
                         approx_sin)
