@@ -72,6 +72,22 @@ def main(argv=None) -> int:
     dec.add_argument("--output", required=True)
     dec.add_argument("--fused", action="store_true")
 
+    fm = sub.add_parser(
+        "fit-multi",
+        help="chunk-parallel multi-INR fit of a wav (the bench recipe): "
+             "fit, stitch, report SNR, write the reconstruction")
+    fm.add_argument("--input", required=True)
+    fm.add_argument("--output", required=True)
+    fm.add_argument("--chunk-s", type=float, default=0.05)
+    fm.add_argument("--overlap", type=float, default=0.1)
+    fm.add_argument("--hidden", type=int, default=128)
+    fm.add_argument("--omega", type=float, default=500.0)
+    fm.add_argument("--learning-rate", type=float, default=1e-3)
+    fm.add_argument("--grad-clip", type=float, default=1.0)
+    fm.add_argument("--total-steps", type=int, default=3000)
+    fm.add_argument("--fused", action="store_true",
+                    help="Pallas fused kernel + polynomial sin (TPU only)")
+
     args = ap.parse_args(argv)
     if args.cmd == "fit":
         from .experiments import train
@@ -107,6 +123,33 @@ def main(argv=None) -> int:
         write_wav(args.output, fs, rec)
         print(json.dumps({"path": args.output, "sample_rate": fs,
                           "samples": int(len(rec))}))
+    elif args.cmd == "fit-multi":
+        import numpy as np
+        from .data.audio_io import read_wav, write_wav
+        from .dsp import calculate_snr
+        from .models import SirenSnakeTanhConfig, build_model
+        from .train import (MultiINRConfig, TrainConfig, multi_inr_decode,
+                            multi_inr_fit)
+        fs, sig = read_wav(args.input, channel=0)
+        sig = sig.astype(np.float32)
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            first_omega_0=args.omega, hidden_features=args.hidden),
+            fused=args.fused, approx_sin=args.fused)
+        res = multi_inr_fit(
+            model, sig, fs,
+            MultiINRConfig(chunk_seconds=args.chunk_s,
+                           overlap_fraction=args.overlap),
+            TrainConfig(total_steps=args.total_steps,
+                        learning_rate=args.learning_rate,
+                        grad_clip_norm=args.grad_clip))
+        rec = multi_inr_decode(model, res)
+        write_wav(args.output, fs, rec)
+        print(json.dumps({
+            "path": args.output,
+            "snr_db": round(float(calculate_snr(sig, rec)), 3),
+            "num_chunks": res.num_chunks,
+            "train_time_s": round(res.train_time_s, 2),
+        }))
     return 0
 
 

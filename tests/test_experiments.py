@@ -204,3 +204,25 @@ def test_cli_fit_smoke(tmp_path):
     with open(pj) as f:
         rec = json.load(f)
     assert "SNR" in rec
+
+
+def test_cli_fit_multi(tmp_path):
+    """fit-multi = the bench recipe as a CLI (chunked multi-INR)."""
+    import json as _json
+    from inraudio_tpu.__main__ import main
+    from inraudio_tpu.data.audio_io import write_wav
+    fs = 4000
+    t = np.arange(int(0.3 * fs)) / fs
+    wav = str(tmp_path / "in.wav")
+    write_wav(wav, fs, (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32))
+    out = str(tmp_path / "rec.wav")
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["fit-multi", "--input", wav, "--output", out,
+                   "--chunk-s", "0.1", "--hidden", "32", "--omega", "200",
+                   "--total-steps", "400"])
+    assert rc == 0 and os.path.exists(out)
+    rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["snr_db"] > 20, rec
