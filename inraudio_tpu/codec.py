@@ -32,7 +32,8 @@ from .data.coords import get_coord
 from .models import (INRModel, SirenSnakeTanhConfig, build_model,
                      dequantize_params, param_bytes, quantize_params)
 from .train.loop import TrainConfig
-from .train.multi_inr import MultiINRConfig, multi_inr_decode, multi_inr_fit
+from .train.multi_inr import (MultiINRConfig, multi_inr_decode,
+                              multi_inr_fit, stitch_chunks)
 
 _FORMAT = "inraudio_tpu.inr.v1"
 
@@ -120,22 +121,12 @@ def decode(payload: dict[str, Any], fused: bool = False
         params = dequantize_params(params)
     params = jax.tree.map(jnp.asarray, params)
 
-    n, hop, k = meta["chunk_length"], meta["hop"], meta["num_chunks"]
+    n, hop = meta["chunk_length"], meta["hop"]
     coords = jnp.asarray(get_coord(n, dim=1))
     outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
-
-    overlap = n - hop
-    from .train.multi_inr import _crossfade_window
-    w = _crossfade_window(n, overlap)
-    total = (k - 1) * hop + n
-    acc = np.zeros(total, dtype=np.float64)
-    den = np.zeros(total, dtype=np.float64)
-    for i in range(k):
-        acc[i * hop: i * hop + n] += outs[i] * w
-        den[i * hop: i * hop + n] += w
-    out = (acc / np.maximum(den, 1e-12)).astype(np.float32)
-    return meta["sample_rate"], out[: meta["signal_length"]]
+    return meta["sample_rate"], stitch_chunks(outs, hop,
+                                              meta["signal_length"])
 
 
 def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:

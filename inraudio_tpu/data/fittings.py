@@ -36,7 +36,7 @@ from ..dsp.filters import hpfilter
 from ..dsp.mdct import stmdct
 from ..dsp.psycho import hearing_threshold_mask
 from ..dsp.stft import stft_magnitude
-from ..dsp.windows import hann_window
+from ..dsp.windows import hann_window_periodic
 from .audio_io import decimate, read_wav
 from .coords import get_coord, grid_coords_2d
 
@@ -104,12 +104,10 @@ def waveform_fitting_from_array(
     reconstruction can be de-normalised (run_experimental.py:215).
     """
     data = np.asarray(signal, dtype=np.float32)
-    if decimation > 1:
+    original_sample_rate = sample_rate  # before division: 44100/8 -> 5512
+    if decimation > 1:                  # but orig stays 44100, not 44096
         data = decimate(data, int(decimation))
         sample_rate = sample_rate // int(decimation)
-        original_sample_rate = sample_rate * int(decimation)
-    else:
-        original_sample_rate = sample_rate
     peak = float(np.max(np.abs(data)))
     targets = (data / peak).reshape(-1, 1)
     coords = get_coord(len(data), dim=1, scale=coord_scale)
@@ -195,9 +193,10 @@ def fft_fitting(
 
 
 def hann_window_torch(n: int) -> np.ndarray:
-    """torch.hann_window-compatible window: 0.5*(1-cos(2 pi k / n)), periodic."""
-    k = np.arange(n)
-    return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))).astype(np.float32)
+    """torch.hann_window-compatible window — alias of
+    ``dsp.windows.hann_window_periodic`` (one definition of the periodic
+    Hann across the repo)."""
+    return hann_window_periodic(n)
 
 
 def mdct_fitting(

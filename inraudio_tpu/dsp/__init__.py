@@ -1,4 +1,5 @@
-from .windows import (sine_window, hann_window, kbd_window, rect_window,
+from .windows import (sine_window, hann_window, hann_window_periodic,
+                      kbd_window, rect_window,
                       long_window, short_window, transition_start_window,
                       transition_stop_window)
 from .mdct import mdct, imdct, stmdct, istmdct, num_stmdct_frames
@@ -8,7 +9,8 @@ from .stft import stft_magnitude, frame_signal
 from .psycho import thresh_quiet, intensity, hearing_threshold_mask
 
 __all__ = [
-    "sine_window", "hann_window", "kbd_window", "rect_window",
+    "sine_window", "hann_window", "hann_window_periodic", "kbd_window",
+    "rect_window",
     "long_window", "short_window", "transition_start_window",
     "transition_stop_window",
     "mdct", "imdct", "stmdct", "istmdct", "num_stmdct_frames",

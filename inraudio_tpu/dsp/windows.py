@@ -35,6 +35,15 @@ def hann_window(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def hann_window_periodic(n: int) -> np.ndarray:
+    """Periodic Hann WITHOUT the half-sample offset — torch.hann_window
+    semantics, used by the STFT loss and the FFT-magnitude fitting target
+    for parity with the reference's torch.stft calls (utils.py:250-251)."""
+    k = np.arange(n)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def kbd_window(n: int, alpha: float = 4.0) -> np.ndarray:
     """Kaiser-Bessel-derived window, reference window.py:42-61.
 

@@ -77,6 +77,12 @@ def decode_problem(model: INRModel, params, problem: FittingProblem,
     d = problem.decode
     if problem.method in ("wave", "multi"):
         if bwe:
+            if problem.in_features != 1:
+                raise ValueError(
+                    "bwe decode needs 1-D (time) coordinates; the "
+                    f"'{problem.method}' problem has in_features="
+                    f"{problem.in_features} (the reference's BWE grid is "
+                    "get_coord(n, 1) too, run.py:131)")
             scale = float(np.max(np.abs(problem.coords[:, 0])))
             coords = bwe_coords(problem, coord_scale=scale)
             rate = problem.original_sample_rate

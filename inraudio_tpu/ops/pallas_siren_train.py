@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.siren import SirenSnakeTanhConfig
 from .pallas_siren import (_MAX_SMALL_IN, _fast_cos, _fast_sin,
-                           _flatten_params, _kernel_dot, _pick_block_rows,
-                           _round_up, _stack_kernel)
+                           _flatten_params, _fused_apply_jit, _kernel_dot,
+                           _pick_block_rows, _round_up)
 
 Params = dict[str, Any]
 
@@ -147,52 +147,6 @@ def _pad_inputs(coords, block_rows):
     return out.at[:n, :d].set(coords.astype(jnp.float32)), n_pad
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
-                                             "compute_dtype_name",
-                                             "interpret", "approx_sin"))
-def _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
-             interpret, approx_sin=False):
-    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
-                     else jnp.float32)
-    kinds = cfg.layer_kinds
-    omegas = tuple(cfg.first_omega_0 if k == "sine_first"
-                   else (cfg.hidden_omega_0 if k == "sine" else 0.0)
-                   for k in kinds)
-    n, d = coords.shape
-    coords_p, n_pad = _pad_inputs(coords, block_rows)
-    # compact blocks are (block_rows//128, 128); Mosaic requires the
-    # sublane dim divisible by 8 -> block_rows must be a multiple of 1024
-    compact = cfg.out_features == 1 and block_rows % 1024 == 0
-    in_specs = [pl.BlockSpec((block_rows, _MAX_SMALL_IN), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
-    for p in flat_params:
-        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    kernel = functools.partial(_stack_kernel, kinds=kinds, omegas=omegas,
-                               in_features=d, compute_dtype=compute_dtype,
-                               compact_out=compact, approx_sin=approx_sin)
-    if compact:
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
-            grid=(n_pad // block_rows,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((block_rows // 128, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(coords_p, *flat_params)
-        return out.reshape(n_pad, 1)[:n]
-    out_f = 128
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_f), jnp.float32),
-        grid=(n_pad // block_rows,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_rows, out_f), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(coords_p, *flat_params)
-    return out[:n, : cfg.out_features]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
@@ -244,14 +198,16 @@ def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _fused_stack(flat_params, coords, cfg, block_rows, compute_dtype_name,
                  interpret, approx_sin):
-    return _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
-                    interpret, approx_sin)
+    # forward is the INFERENCE kernel builder, shared with fused_siren_apply
+    # (one copy of the padding/compact-layout/pallas_call construction)
+    return _fused_apply_jit(flat_params, coords, cfg, block_rows,
+                            compute_dtype_name, interpret, approx_sin)
 
 
 def _fused_stack_fwd(flat_params, coords, cfg, block_rows,
                      compute_dtype_name, interpret, approx_sin):
-    out = _forward(flat_params, coords, cfg, block_rows, compute_dtype_name,
-                   interpret, approx_sin)
+    out = _fused_apply_jit(flat_params, coords, cfg, block_rows,
+                           compute_dtype_name, interpret, approx_sin)
     return out, (flat_params, coords)
 
 

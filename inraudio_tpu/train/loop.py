@@ -47,7 +47,9 @@ class TrainConfig:
     track_best: bool = True
     plateau_factor: float = 0.8
     plateau_patience: int = 200
-    log_every: int = 1  # history stride; 1 = per-step like the reference
+    # History stride applied host-side after the run (1 = per-step, like
+    # the reference's per-iteration lists, run.py:180-190).
+    log_every: int = 1
     # Optional global-norm gradient clipping (0 = off, the reference has
     # none).  Stabilises multi-INR chunk populations at aggressive lrs.
     grad_clip_norm: float = 0.0
@@ -190,6 +192,9 @@ def fit(model: INRModel,
     train_time = time.time() - t0
     loss_hist = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else loss_chunks[0]
     lr_hist = jnp.concatenate(lr_chunks) if len(lr_chunks) > 1 else lr_chunks[0]
+    if cfg.log_every > 1:
+        loss_hist = loss_hist[:: cfg.log_every]
+        lr_hist = lr_hist[:: cfg.log_every]
 
     decode_params = state.best_params if cfg.track_best else state.params
     return FitResult(

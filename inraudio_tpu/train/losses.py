@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.stft import stft_magnitude
+from ..dsp.windows import hann_window_periodic
 
 EPS = 1e-8
 
@@ -60,14 +61,8 @@ def snr_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(tgt_energy / (res_energy + EPS) + EPS)
 
 
-@functools.lru_cache(maxsize=None)
-def _hann(win_length: int) -> np.ndarray:
-    k = np.arange(win_length)
-    return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / win_length))).astype(np.float32)
-
-
 def _padded_window(n_fft: int, win_length: int) -> jnp.ndarray:
-    w = _hann(win_length)
+    w = hann_window_periodic(win_length)
     if win_length < n_fft:
         pad = (n_fft - win_length) // 2
         w = np.pad(w, (pad, n_fft - win_length - pad))
@@ -121,13 +116,34 @@ def mix_loss(pred: jnp.ndarray, target: jnp.ndarray, loss_mode: str = "mse",
     Unlike the reference — which evaluates the STFT loss every step even at
     alpha=0 (run.py:160) — the spectral term is gated on alpha here; the
     result is identical and the alpha=0 path saves the whole STFT.
+
+    ``weight`` carries both the psychoacoustic mask (utils.py:365-376) and
+    the zero-weight padding mask from ``shard_problem_arrays`` (already
+    normalised to mean 1 over real rows) — EVERY loss mode must honor it,
+    or padded rows poison the reduction: mse/mae scale per-sample terms,
+    snr masks both energies (the mask's mean-1 scale cancels in the ratio),
+    and the spectral term zeroes both signals on the mask's dead support.
     """
-    if loss_mode == "mse" and weight is not None:
-        base = weighted_mse(pred, target, weight)
+    if weight is not None:
+        w = jnp.reshape(weight, (-1,) + (1,) * (pred.ndim - 1))
+        if loss_mode == "mse":
+            base = jnp.mean(jnp.square(pred - target) * w)
+        elif loss_mode == "mae":
+            base = jnp.mean(jnp.abs(pred - target) * w)
+        elif loss_mode == "snr":
+            res = jnp.sum(jnp.square(target - pred) * w)
+            tgt = jnp.sum(jnp.square(target) * w)
+            base = -10.0 * jnp.log10(tgt / (res + EPS) + EPS)
+        else:
+            raise KeyError(loss_mode)
     else:
         base = BASE_LOSSES[loss_mode](pred, target)
     if alpha == 0.0:
         return base
+    if weight is not None:
+        live = (w > 0).astype(pred.dtype)
+        pred = pred * live
+        target = target * live
     spec = (multi_resolution_stft_loss(pred, target) if multi_resolution
             else stft_loss(pred, target))
     return (1.0 - alpha) * base + alpha * spec

@@ -118,7 +118,6 @@ def multi_inr_fit(model: INRModel,
     # stacked per-chunk states, chunk axis sharded
     keys = jax.random.split(key, k_total)
     states = jax.vmap(lambda kk: init_train_state(model, kk, train_cfg))(keys)
-    chunk_sh = NamedSharding(mesh, P("data"))
 
     def shard_leaf(x):
         spec = P(*(("data",) + (None,) * (x.ndim - 1)))
@@ -158,6 +157,20 @@ def multi_inr_fit(model: INRModel,
                           train_time_s=train_time)
 
 
+def stitch_chunks(outs: np.ndarray, hop: int, length: int) -> np.ndarray:
+    """Crossfade overlap-add of (k, n) chunk decodes -> (length,) waveform.
+    Shared by ``multi_inr_decode`` and the codec's ``decode``."""
+    k, n = outs.shape
+    w = _crossfade_window(n, n - hop)
+    total = (k - 1) * hop + n
+    acc = np.zeros(total, dtype=np.float64)
+    den = np.zeros(total, dtype=np.float64)
+    for i in range(k):
+        acc[i * hop: i * hop + n] += outs[i] * w
+        den[i * hop: i * hop + n] += w
+    return (acc / np.maximum(den, 1e-12)).astype(np.float32)[:length]
+
+
 def multi_inr_decode(model: INRModel, result: MultiINRResult,
                      track_best: bool = True) -> np.ndarray:
     """Decode every chunk (one vmapped dense eval) and overlap-add with a
@@ -168,14 +181,4 @@ def multi_inr_decode(model: INRModel, result: MultiINRResult,
               else result.states.params)
     outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
     outs = np.asarray(outs)[:k, :, 0] * result.chunk_scales[:, None]  # (k, n)
-
-    overlap = n - hop
-    w = _crossfade_window(n, overlap)
-    total = (k - 1) * hop + n
-    acc = np.zeros(total, dtype=np.float64)
-    den = np.zeros(total, dtype=np.float64)
-    for i in range(k):
-        acc[i * hop: i * hop + n] += outs[i] * w
-        den[i * hop: i * hop + n] += w
-    out = (acc / np.maximum(den, 1e-12)).astype(np.float32)
-    return out[: result.signal_length]
+    return stitch_chunks(outs, hop, result.signal_length)

@@ -36,9 +36,16 @@ def _filter_normalize(direction: Any, params: Any) -> Any:
 
 def random_plane(loss_fn: Callable[[Any], jax.Array], params: Any,
                  key: jax.Array, distance: float = 2.0, steps: int = 30,
-                 batch_rows: int = 64) -> np.ndarray:
+                 points_per_batch: int = 4) -> np.ndarray:
     """(steps, steps) loss surface over a filter-normalised random plane
-    through ``params`` (reference run.py:194-201 semantics)."""
+    through ``params`` (reference run.py:194-201 semantics).
+
+    ``points_per_batch`` bounds how many plane points are evaluated
+    concurrently: each point is a FULL-batch loss (potentially (n, h)
+    activations for a whole clip), so vmapping a complete 30-point row at
+    once would multiply peak activation memory 30x and OOM exactly on the
+    long clips the visualization targets.
+    """
     k1, k2 = jax.random.split(key)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     keys1 = jax.random.split(k1, len(leaves))
@@ -59,9 +66,20 @@ def random_plane(loss_fn: Callable[[Any], jax.Array], params: Any,
                          params, d1, d2)
         return loss_fn(p)
 
-    row = jax.jit(jax.vmap(at, in_axes=(None, 0)))
-    surface = np.stack([np.asarray(row(a, betas)) for a in alphas])
-    return surface
+    m = max(1, min(points_per_batch, steps))
+    batch = jax.jit(jax.vmap(at, in_axes=(0, 0)))
+    aa, bb = np.meshgrid(np.asarray(alphas), np.asarray(betas),
+                         indexing="ij")
+    flat_a = jnp.asarray(aa.reshape(-1))
+    flat_b = jnp.asarray(bb.reshape(-1))
+    total = flat_a.shape[0]
+    pad = (-total) % m
+    if pad:  # keep one compiled shape for every batch
+        flat_a = jnp.concatenate([flat_a, jnp.zeros(pad, flat_a.dtype)])
+        flat_b = jnp.concatenate([flat_b, jnp.zeros(pad, flat_b.dtype)])
+    vals = [np.asarray(batch(flat_a[s:s + m], flat_b[s:s + m]))
+            for s in range(0, total + pad, m)]
+    return np.concatenate(vals)[:total].reshape(steps, steps)
 
 
 def plot_landscape(surface: np.ndarray, path: str) -> None:

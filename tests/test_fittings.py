@@ -69,3 +69,13 @@ def test_fft_fitting_shapes():
     assert p.width == 1 + 44100 // 256  # center=True frame count at hop n_fft//4
     assert p.targets.max() == pytest.approx(1.0)
     assert p.targets.min() >= 0.0
+
+
+def test_from_array_original_rate_not_truncated():
+    """44100/8 decimation: sample_rate 5512 but original must stay 44100
+    (regression: it was reconstructed as 5512*8 = 44096)."""
+    from inraudio_tpu.data.fittings import waveform_fitting_from_array
+    sig = np.sin(np.linspace(0, 100, 44100, dtype=np.float32))
+    p = waveform_fitting_from_array(sig, 44100, decimation=8)
+    assert p.sample_rate == 5512
+    assert p.original_sample_rate == 44100

@@ -4,6 +4,7 @@ oracle for SNR/STFT losses)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from inraudio_tpu.train import (mae, mix_loss, mse, multi_resolution_stft_loss,
@@ -109,3 +110,48 @@ class TestMixLoss:
         np.testing.assert_allclose(
             float(mix_loss(jnp.asarray(y), jnp.asarray(x), "mae", alpha=a)),
             expected, rtol=1e-5)
+
+
+class TestWeightInAllModes:
+    """Padding-mask regression: every loss mode must ignore zero-weight rows
+    (mix_loss used to drop the weight for 'mae' and 'snr')."""
+
+    def _padded(self):
+        rng = np.random.default_rng(0)
+        pred = rng.standard_normal((20, 1)).astype(np.float32)
+        tgt = rng.standard_normal((20, 1)).astype(np.float32)
+        # rows 16..19 are padding garbage; mask normalised to mean 1
+        pred_p = np.concatenate([pred, np.full((4, 1), 3.0, np.float32)])
+        tgt_p = np.concatenate([tgt, np.zeros((4, 1), np.float32)])
+        w = np.zeros((24, 1), np.float32)
+        w[:20] = 24.0 / 20.0
+        return pred, tgt, pred_p, tgt_p, w
+
+    @pytest.mark.parametrize("mode", ["mse", "mae", "snr"])
+    def test_mask_recovers_unpadded_loss(self, mode):
+        from inraudio_tpu.train.losses import mix_loss
+        pred, tgt, pred_p, tgt_p, w = self._padded()
+        clean = float(mix_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                               loss_mode=mode))
+        masked = float(mix_loss(jnp.asarray(pred_p), jnp.asarray(tgt_p),
+                                loss_mode=mode, weight=jnp.asarray(w)))
+        np.testing.assert_allclose(masked, clean, rtol=2e-5)
+
+    def test_stft_term_masks_padding(self):
+        """With alpha > 0 the spectral term must see zeros on pad rows:
+        garbage pred values there would otherwise add spectral error."""
+        from inraudio_tpu.train.losses import mix_loss
+        rng = np.random.default_rng(1)
+        n, pad = 4096, 512
+        tgt = rng.standard_normal((n, 1)).astype(np.float32)
+        pred = tgt + 0.01 * rng.standard_normal((n, 1)).astype(np.float32)
+        pred_p = np.concatenate([pred, np.full((pad, 1), 3.0, np.float32)])
+        tgt_p = np.concatenate([tgt, np.zeros((pad, 1), np.float32)])
+        w = np.zeros((n + pad, 1), np.float32)
+        w[:n] = (n + pad) / n
+        dirty = float(mix_loss(jnp.asarray(pred_p), jnp.asarray(tgt_p),
+                               loss_mode="mse", alpha=0.5))
+        masked = float(mix_loss(jnp.asarray(pred_p), jnp.asarray(tgt_p),
+                                loss_mode="mse", alpha=0.5,
+                                weight=jnp.asarray(w)))
+        assert np.isfinite(masked) and masked < dirty

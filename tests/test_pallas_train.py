@@ -79,3 +79,34 @@ def test_one_training_step_equivalence():
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
                                    rtol=1e-2)
+
+
+def test_multi_tile_gradient_accumulation():
+    """The backward kernel zero-inits grads on the FIRST tile and '+='-
+    accumulates across the sequential grid (constant-index-map outputs) —
+    force a multi-tile grid (block 1024 < n) and check against jax.grad."""
+    cfg = SirenSnakeTanhConfig(first_omega_0=30.0, hidden_features=128,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    n = 2500  # block 1024 -> padded 3072 -> 3 grid steps
+    coords = jnp.linspace(-1, 1, n).reshape(-1, 1)
+    targets = jnp.sin(15 * coords)
+
+    def loss_ref(p):
+        return jnp.mean((model.apply(p, coords) - targets) ** 2)
+
+    def loss_fused(p):
+        out = fused_siren_train_apply(p, cfg, coords, block_rows=1024,
+                                      interpret=True)
+        return jnp.mean((out - targets) ** 2)
+
+    l_r, g_r = jax.value_and_grad(loss_ref)(params)
+    l_f, g_f = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_r),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")

@@ -8,6 +8,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from inraudio_tpu.data import get_coord, waveform_fitting_from_array
 from inraudio_tpu.dsp import calculate_snr
@@ -199,3 +200,22 @@ class TestDecode:
         # BWE decodes at the full original-rate grid length
         duration = problem.height / problem.sample_rate
         assert wav.shape == (int(FS * duration),)
+
+
+def test_bwe_rejects_2d_problems():
+    """BWE needs a 1-D time grid (reference run.py:131); 2-D 'multi'
+    problems must fail loudly, not crash in the matmul."""
+    from inraudio_tpu.data.fittings import FittingProblem
+    from inraudio_tpu.eval.decode import decode_problem
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    prob = FittingProblem(
+        coords=np.zeros((16, 2), np.float32),
+        targets=np.zeros((16, 1), np.float32), sample_rate=100,
+        original_sample_rate=200, height=4, width=4, method="multi",
+        decode={"kind": "wave", "peak": 1.0})
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        in_features=2, hidden_features=8, num_sine=0, num_snake=0,
+        first_omega_0=30.0))
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="1-D"):
+        decode_problem(model, params, prob, bwe=True)
