@@ -26,12 +26,18 @@ import jax.numpy as jnp
 Params = Any
 
 
-def quantize_params(params: Params, mode: str = "float16") -> Params:
+def quantize_params(params: Params, mode: str = "float16",
+                    per_leading_axis: bool = False) -> Params:
     """Quantize every leaf. mode in {'float16', 'bfloat16', 'int8'}.
 
-    int8 leaves become dicts ``{'q': int8 array, 'scale': float32 scalar}``
+    int8 leaves become dicts ``{'q': int8 array, 'scale': float32}``
     (symmetric, zero-point-free — INR weights are zero-centred by SIREN
     init, models.py:105-112, so an asymmetric zero point buys nothing).
+
+    ``per_leading_axis=True`` gives each slice along axis 0 its own int8
+    scale — REQUIRED for chunk-stacked multi-INR parameters, where per-chunk
+    weight magnitudes differ enough that one tensor-wide scale destroys the
+    reconstruction (measured: -1 dB vs >20 dB on the same fit).
     """
     if mode in ("float16", "bfloat16"):
         dt = jnp.float16 if mode == "float16" else jnp.bfloat16
@@ -39,10 +45,15 @@ def quantize_params(params: Params, mode: str = "float16") -> Params:
     if mode == "int8":
         def q(l):
             l = jnp.asarray(l, jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(l)), 1e-12) / 127.0
+            if per_leading_axis and l.ndim >= 2:
+                axes = tuple(range(1, l.ndim))
+                peak = jnp.max(jnp.abs(l), axis=axes, keepdims=True)
+            else:
+                peak = jnp.max(jnp.abs(l))
+            scale = jnp.maximum(peak, 1e-12) / 127.0
             return {"q": jnp.clip(jnp.round(l / scale), -127, 127)
                     .astype(jnp.int8),
-                    "scale": scale.astype(jnp.float32)}
+                    "scale": jnp.asarray(scale, jnp.float32)}
         return jax.tree.map(q, params)
     raise ValueError(f"unknown quantization mode {mode!r}")
 
