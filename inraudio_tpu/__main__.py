@@ -111,7 +111,7 @@ def main(argv=None) -> int:
             fused=args.fused))
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
-        stats = compression_stats(payload)
+        stats = compression_stats(payload, path)
         stats["snr_db"] = round(float(calculate_snr(
             sig.astype(np.float32), rec)), 3)
         stats["path"] = path

@@ -209,11 +209,22 @@ def load_inr(path: str) -> dict[str, Any]:
     return {"meta": meta, "scales": scales, "params": params}
 
 
-def compression_stats(payload: dict[str, Any]) -> dict[str, float]:
-    """Bytes, bits/sample, and ratio vs 16-bit PCM."""
+def compression_stats(payload: dict[str, Any],
+                      path: str | None = None) -> dict[str, float]:
+    """Bytes, bits/sample, and ratio vs 16-bit PCM.
+
+    ``path``: a file written by ``save_inr`` — adds the ON-DISK numbers
+    (the .npz is deflate-compressed, so int8 payloads shrink further)."""
     nbytes = param_bytes(payload["params"]) + payload["scales"].nbytes
     n = payload["meta"]["signal_length"]
     pcm16 = 2 * n
-    return {"param_bytes": float(nbytes),
-            "bits_per_sample": 8.0 * nbytes / n,
-            "ratio_vs_pcm16": pcm16 / nbytes}
+    stats = {"param_bytes": float(nbytes),
+             "bits_per_sample": 8.0 * nbytes / n,
+             "ratio_vs_pcm16": pcm16 / nbytes}
+    if path is not None:
+        import os
+        fb = os.path.getsize(path)
+        stats["file_bytes"] = float(fb)
+        stats["file_bits_per_sample"] = 8.0 * fb / n
+        stats["file_ratio_vs_pcm16"] = pcm16 / fb
+    return stats

@@ -149,13 +149,21 @@ def fit(model: INRModel,
         key: jax.Array | None = None,
         weight: np.ndarray | None = None,
         mesh=None,
-        state: TrainState | None = None) -> FitResult:
+        state: TrainState | None = None,
+        checkpoint_every: int = 0,
+        checkpoint_path: str | None = None) -> FitResult:
     """Fit the INR to (coords, targets) with the full jitted scan loop.
 
     ``mesh=None`` builds a 1-D mesh over all visible devices: coords/targets
     sharded on the sample axis, params replicated — single-device meshes
     degrade to the trivial layout.  ``state`` warm-starts from a previous
     phase (procedural curriculum, run.py:486-495).
+
+    ``checkpoint_every`` > 0 saves the full TrainState to
+    ``checkpoint_path`` roughly every that many steps (rounded to scan-chunk
+    boundaries) — crash resilience the reference lacks (its only recovery is
+    the end-of-run checkpoint, run.py:356-363); resume by loading it into
+    ``state``.
     """
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -182,12 +190,21 @@ def fit(model: INRModel,
     t0 = time.time()
     loss_chunks, lr_chunks = [], []
     done = 0
+    last_ckpt = 0
     while done < cfg.total_steps:
         n = min(chunk, cfg.total_steps - done)
         state, (lh, lrh) = run(state, coords_d, targets_d, weight_d, length=n)
         loss_chunks.append(lh)
         lr_chunks.append(lrh)
         done += n
+        if (checkpoint_every and checkpoint_path
+                and done - last_ckpt >= checkpoint_every
+                and done < cfg.total_steps):
+            from .checkpoint import save_checkpoint
+            jax.block_until_ready(state.params)
+            save_checkpoint(checkpoint_path, state,
+                            extra={"steps_done": done})
+            last_ckpt = done
     jax.block_until_ready(state.params)
     train_time = time.time() - t0
     loss_hist = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else loss_chunks[0]

@@ -219,3 +219,26 @@ def test_bwe_rejects_2d_problems():
     params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="1-D"):
         decode_problem(model, params, prob, bwe=True)
+
+
+def test_periodic_checkpointing(tmp_path):
+    """fit(checkpoint_every=...) writes a resumable mid-run TrainState."""
+    from inraudio_tpu.train.checkpoint import checkpoint_extra, load_checkpoint
+    from inraudio_tpu.train.loop import TrainConfig, fit, init_train_state
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    from inraudio_tpu.parallel import make_mesh
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        first_omega_0=100.0, hidden_features=16, num_sine=1, num_snake=0))
+    coords = get_coord(256, dim=1)
+    targets = np.sin(5.0 * coords).astype(np.float32)
+    path = str(tmp_path / "mid.npz")
+    cfg = TrainConfig(total_steps=120, scan_chunk=40)
+    fit(model, coords, targets, cfg, key=jax.random.PRNGKey(0),
+        mesh=make_mesh(jax.devices()[:1]),
+        checkpoint_every=40, checkpoint_path=path)
+    assert os.path.exists(path)
+    extra = checkpoint_extra(path)
+    assert 0 < extra["steps_done"] < 120
+    template = init_train_state(model, jax.random.PRNGKey(0), cfg)
+    st = load_checkpoint(path, template)
+    assert int(st.opt.step) == extra["steps_done"]
