@@ -71,6 +71,9 @@ def main(argv=None) -> int:
     dec.add_argument("--input", required=True)
     dec.add_argument("--output", required=True)
     dec.add_argument("--fused", action="store_true")
+    dec.add_argument("--upsample", type=int, default=1,
+                     help="decode on an N-times denser grid "
+                          "(INR bandwidth extension)")
 
     fm = sub.add_parser(
         "fit-multi",
@@ -119,7 +122,8 @@ def main(argv=None) -> int:
     elif args.cmd == "decode":
         from .codec import decode as _dec, load_inr
         from .data.audio_io import write_wav
-        fs, rec = _dec(load_inr(args.input), fused=args.fused)
+        fs, rec = _dec(load_inr(args.input), fused=args.fused,
+                       upsample=args.upsample)
         write_wav(args.output, fs, rec)
         print(json.dumps({"path": args.output, "sample_rate": fs,
                           "samples": int(len(rec))}))

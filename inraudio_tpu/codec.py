@@ -130,9 +130,16 @@ def encode(signal: np.ndarray, sample_rate: int,
             "params": stored}
 
 
-def decode(payload: dict[str, Any], fused: bool = False
-           ) -> tuple[int, np.ndarray]:
-    """Payload -> (sample_rate, waveform). Inverse of ``encode``."""
+def decode(payload: dict[str, Any], fused: bool = False,
+           upsample: int = 1) -> tuple[int, np.ndarray]:
+    """Payload -> (sample_rate, waveform). Inverse of ``encode``.
+
+    ``upsample`` > 1 evaluates every chunk's INR on a grid that many times
+    denser — bandwidth-extension decode straight from the compressed
+    payload (the INR is continuous; this is the codec-side analogue of the
+    runner's ``bwe`` flag, reference run.py:131,251-253).  Returns the
+    upsampled rate.
+    """
     meta = payload["meta"]
     if meta.get("format") != _FORMAT:
         raise ValueError(f"not an {_FORMAT} payload")
@@ -147,12 +154,13 @@ def decode(payload: dict[str, Any], fused: bool = False
         params = dequantize_params(params)
     params = jax.tree.map(jnp.asarray, params)
 
-    n, hop = meta["chunk_length"], meta["hop"]
+    u = max(1, int(upsample))
+    n, hop = meta["chunk_length"] * u, meta["hop"] * u
     coords = jnp.asarray(get_coord(n, dim=1))
     outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
-    return meta["sample_rate"], stitch_chunks(outs, hop,
-                                              meta["signal_length"])
+    return (meta["sample_rate"] * u,
+            stitch_chunks(outs, hop, meta["signal_length"] * u))
 
 
 def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:

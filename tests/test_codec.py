@@ -60,3 +60,17 @@ def test_cli_encode_decode(tmp_path):
     dec = str(tmp_path / "out.wav")
     rc = main(["decode", "--input", out, "--output", dec])
     assert rc == 0 and os.path.exists(dec)
+
+
+def test_decode_upsample():
+    """upsample=2 decodes the payload at twice the rate (INR BWE)."""
+    sig = _sig(0.3)
+    payload = encode(sig, FS, SMALL)
+    fs2, rec2 = decode(payload, upsample=2)
+    assert fs2 == 2 * FS and len(rec2) == 2 * len(sig)
+    # the dense decode tracks the original-rate decode (grids differ by
+    # linspace endpoint placement, so compare as SNR, not elementwise)
+    fs1, rec1 = decode(payload)
+    err = rec2[::2] - rec1
+    snr = 10 * np.log10(np.sum(rec1 ** 2) / (np.sum(err ** 2) + 1e-20))
+    assert snr > 15, snr
