@@ -17,6 +17,12 @@ axis as a batch axis:
 
 Each chunk is peak-normalised individually (stored per-chunk scale restores
 amplitude at stitch time, like the waveform builders' decode contract).
+
+Caveat: on a MULTI-chip mesh use the XLA apply (``build_model(...,
+fused=False)``, the default) — XLA SPMD freely partitions it along the
+chunk axis, while partitioning a vmapped Pallas custom call needs explicit
+shard_map plumbing that is only exercised single-chip here.  On one chip
+the fused path is ~2x faster (BASELINE.md).
 """
 
 from __future__ import annotations
