@@ -143,15 +143,41 @@ def bench_multi() -> float:
     log(f"compile+warmup: {time.time() - t_setup:.1f}s "
         f"({ROUND_STEPS} warmup steps excluded from budget)")
 
+    # optional per-round stitched-SNR tracking (adds one vmapped decode per
+    # round, ~40 ms) — reports time-to-40dB, the BASELINE.md secondary metric
+    track_snr = os.environ.get("BENCH_TRACK_SNR", "0") == "1"
+    if track_snr:
+        sig_d = jnp.asarray(signal)
+        scales_d = jnp.asarray(scales)
+
+        @jax.jit
+        def quick_snr(states):
+            outs = jax.vmap(lambda p: model.apply(p, coords))(
+                states.best_params)[:, :, 0] * scales_d[:, None]
+            # rough stitch: ignore crossfade, take each chunk's first `hop`
+            # samples — good to ~1 dB, enough for the time-to-40dB marker
+            flat = outs[:, :hop].reshape(-1)[: sig_d.shape[0]]
+            return calculate_snr(sig_d, flat)
+
     t0 = time.time()
     steps = 0
+    t40 = None
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
         states, h = run(states, targets)
         jax.block_until_ready(h)
         steps += ROUND_STEPS
+        extra = ""
+        if track_snr:
+            s_now = float(quick_snr(states))
+            if t40 is None and s_now >= TARGET_DB:
+                t40 = time.time() - t0
+            extra = f" snr~{s_now:6.2f} dB"
         log(f"  t={time.time() - t0:5.1f}s steps={steps:6d} "
-            f"worst-chunk loss={float(np.max(np.asarray(h[-1]))):.3e}")
+            f"worst-chunk loss={float(np.max(np.asarray(h[-1]))):.3e}{extra}")
     train_time = time.time() - t0
+    if track_snr and t40 is not None:
+        log(f"time-to-{TARGET_DB:.0f}dB: {t40:.1f}s "
+            f"(round granularity {ROUND_STEPS} steps)")
 
     res = MultiINRResult(states=states, chunk_scales=scales, chunk_length=n,
                          hop=hop, num_chunks=k, signal_length=len(signal),
