@@ -41,7 +41,8 @@ class INRModel:
 
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
-                approx_sin: bool = False, **overrides) -> INRModel:
+                approx_sin: bool = False, interpret: bool = False,
+                **overrides) -> INRModel:
     """Factory over the zoo: arch in {'mlp', 'siren', 'kan', 'relu'}.
 
     'mlp' is the production ``SirenWithSnakeTanh`` recipe — the name matches
@@ -55,12 +56,14 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
     if arch == "mlp":
         cfg = config or SirenSnakeTanhConfig(**overrides)
         if fused:
+            # ``interpret=True`` runs the kernels in the Pallas interpreter
+            # (CPU-executable — used by the virtual-device sharding tests)
             from ..ops.pallas_siren_train import fused_siren_train_apply
             return INRModel(
                 name="siren_snake_tanh_fused", config=cfg,
                 init=lambda key: siren_snake_tanh_init(key, cfg),
                 apply=lambda p, c: fused_siren_train_apply(
-                    p, cfg, c, approx_sin=approx_sin))
+                    p, cfg, c, approx_sin=approx_sin, interpret=interpret))
         return INRModel(
             name="siren_snake_tanh", config=cfg,
             init=lambda key: siren_snake_tanh_init(key, cfg),

@@ -18,11 +18,12 @@ axis as a batch axis:
 Each chunk is peak-normalised individually (stored per-chunk scale restores
 amplitude at stitch time, like the waveform builders' decode contract).
 
-Caveat: on a MULTI-chip mesh use the XLA apply (``build_model(...,
-fused=False)``, the default) — XLA SPMD freely partitions it along the
-chunk axis, while partitioning a vmapped Pallas custom call needs explicit
-shard_map plumbing that is only exercised single-chip here.  On one chip
-the fused path is ~2x faster (BASELINE.md).
+On a multi-device mesh the vmapped step runs under ``jax.shard_map`` over
+the chunk axis: each device executes its local chunks only (zero
+collectives), which also makes the Pallas ``fused`` apply work unchanged —
+the custom call never needs to be partitioned by XLA.  Validated on the
+8-virtual-device CPU mesh with interpret-mode kernels
+(tests/test_experiments.py).
 """
 
 from __future__ import annotations
@@ -134,6 +135,15 @@ def multi_inr_fit(model: INRModel,
 
     train_step = make_train_step(model, train_cfg)
     vstep = jax.vmap(lambda s, t: train_step(s, coords, t), in_axes=(0, 0))
+    if n_dev > 1:
+        # Explicit chunk-axis SPMD: inside shard_map every device runs the
+        # vmapped step on ITS chunks only — no collectives (the population
+        # is embarrassingly parallel) and, crucially, a Pallas ``fused``
+        # apply works unchanged because the custom call never needs to be
+        # partitioned by XLA (it executes per-device on local shards).
+        vstep = jax.shard_map(vstep, mesh=mesh,
+                              in_specs=(P("data"), P("data")),
+                              out_specs=P("data"), check_vma=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("length",))

@@ -226,3 +226,26 @@ def test_cli_fit_multi(tmp_path):
     assert rc == 0 and os.path.exists(out)
     rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rec["snr_db"] > 20, rec
+
+
+def test_multi_inr_fused_shard_map_8dev():
+    """The fused Pallas apply works on a multi-device mesh: shard_map runs
+    each device's kernels on its local chunks (interpret mode on the CPU
+    test mesh) and matches the unfused 8-device fit."""
+    fs = 4000
+    t = np.arange(int(0.8 * fs)) / fs
+    sig = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    cfg = MultiINRConfig(chunk_seconds=0.1, overlap_fraction=0.0)
+    tcfg = TrainConfig(total_steps=60, scan_chunk=30, learning_rate=1e-3)
+    mesh8 = make_mesh(jax.devices()[:8])
+    mcfg = SirenSnakeTanhConfig(first_omega_0=200.0, hidden_features=32,
+                                num_sine=1, num_snake=1)
+    m_ref = build_model("mlp", mcfg)
+    m_fused = build_model("mlp", mcfg, fused=True, interpret=True)
+    r_ref = multi_inr_fit(m_ref, sig, fs, cfg, tcfg,
+                          key=jax.random.PRNGKey(3), mesh=mesh8)
+    r_f = multi_inr_fit(m_fused, sig, fs, cfg, tcfg,
+                        key=jax.random.PRNGKey(3), mesh=mesh8)
+    o_ref = multi_inr_decode(m_ref, r_ref)
+    o_f = multi_inr_decode(m_fused, r_f)
+    np.testing.assert_allclose(o_f, o_ref, atol=5e-3)
