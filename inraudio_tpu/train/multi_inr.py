@@ -102,27 +102,74 @@ def multi_inr_fit(model: INRModel,
     chunk axis sharded over the mesh)."""
     cfg = cfg or MultiINRConfig()
     train_cfg = train_cfg or TrainConfig()
+    chunks, n, hop = chunk_signal(np.asarray(signal, dtype=np.float32),
+                                  sample_rate, cfg)
+    return _fit_chunk_population(model, chunks, n, hop, len(signal),
+                                 cfg, train_cfg, key, mesh)
+
+
+def multi_inr_fit_many(model: INRModel,
+                       signals: list[np.ndarray],
+                       sample_rate: int,
+                       cfg: MultiINRConfig | None = None,
+                       train_cfg: TrainConfig | None = None,
+                       key: jax.Array | None = None,
+                       mesh=None) -> list[MultiINRResult]:
+    """Fit SEVERAL clips at once: their chunk populations concatenate into
+    one vmapped batch, trained in a single scan.
+
+    The reference's driver fits instruments serially (run.py:419 loops over
+    ['oboe', 'castanets']); on TPU the chunk axis is a batch axis, so a
+    whole directory of clips is just a bigger population — one compile, one
+    launch, same wall-clock as the longest clip alone (until the chip
+    saturates).  All clips share ``sample_rate`` and the chunk grid.
+    Returns one MultiINRResult per input, decodable with
+    ``multi_inr_decode``.
+    """
+    cfg = cfg or MultiINRConfig()
+    train_cfg = train_cfg or TrainConfig()
+    if not signals:
+        return []
+    # chunk each clip separately (not a concatenation) so chunk boundaries
+    # stay aligned to clip starts, then fit the stacked population once
+    per_clip = [chunk_signal(np.asarray(s, dtype=np.float32), sample_rate,
+                             cfg) for s in signals]
+    n, hop = per_clip[0][1], per_clip[0][2]
+    chunks = np.concatenate([c for c, _, _ in per_clip], axis=0)
+    res = _fit_chunk_population(model, chunks, n, hop, chunks.shape[0] * n,
+                                cfg, train_cfg, key, mesh)
+    # split the stacked states/scales back per clip
+    out = []
+    start = 0
+    for (c, _, _), sig in zip(per_clip, signals):
+        k = c.shape[0]
+        sl = slice(start, start + k)
+        states_i = jax.tree.map(lambda x: x[sl], res.states)
+        out.append(MultiINRResult(
+            states=states_i, chunk_scales=res.chunk_scales[sl],
+            chunk_length=n, hop=hop, num_chunks=k,
+            signal_length=len(np.asarray(sig).reshape(-1)),
+            loss_history=res.loss_history[:, sl],
+            train_time_s=res.train_time_s))
+        start += k
+    return out
+
+
+def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
+                          train_cfg, key, mesh) -> MultiINRResult:
+    """Core of multi_inr_fit: train a (k, n) chunk population."""
     key = key if key is not None else jax.random.PRNGKey(0)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-
-    chunks, n, hop = chunk_signal(np.asarray(signal, dtype=np.float32),
-                                  sample_rate, cfg)
     k = chunks.shape[0]
-    scales = np.maximum(np.max(np.abs(chunks), axis=1), 1e-9)  # (k,)
-    targets = (chunks / scales[:, None])[..., None]            # (k, n, 1)
-
-    # pad the chunk axis to a device-count multiple (dummy chunks dropped at
-    # stitch time)
+    scales = np.maximum(np.max(np.abs(chunks), axis=1), 1e-9)
+    targets = (chunks / scales[:, None])[..., None]
     k_pad = (-k) % n_dev
     if k_pad:
         targets = np.concatenate(
             [targets, np.zeros((k_pad, n, 1), dtype=np.float32)], axis=0)
     k_total = k + k_pad
-
-    coords = jnp.asarray(get_coord(n, dim=1))  # shared by every chunk
-
-    # stacked per-chunk states, chunk axis sharded
+    coords = jnp.asarray(get_coord(n, dim=1))
     keys = jax.random.split(key, k_total)
     states = jax.vmap(lambda kk: init_train_state(model, kk, train_cfg))(keys)
 
@@ -136,11 +183,6 @@ def multi_inr_fit(model: INRModel,
     train_step = make_train_step(model, train_cfg)
     vstep = jax.vmap(lambda s, t: train_step(s, coords, t), in_axes=(0, 0))
     if n_dev > 1:
-        # Explicit chunk-axis SPMD: inside shard_map every device runs the
-        # vmapped step on ITS chunks only — no collectives (the population
-        # is embarrassingly parallel) and, crucially, a Pallas ``fused``
-        # apply works unchanged because the custom call never needs to be
-        # partitioned by XLA (it executes per-device on local shards).
         vstep = jax.shard_map(vstep, mesh=mesh,
                               in_specs=(P("data"), P("data")),
                               out_specs=P("data"), check_vma=False)
@@ -164,12 +206,10 @@ def multi_inr_fit(model: INRModel,
         done += m
     jax.block_until_ready(states.params)
     train_time = time.time() - t0
-    # drop pad-chunk columns: only the k real chunks are reported
     hist = np.concatenate([np.asarray(h) for h in hists], axis=0)[:, :k]
-
     return MultiINRResult(states=states, chunk_scales=scales,
                           chunk_length=n, hop=hop, num_chunks=k,
-                          signal_length=len(signal), loss_history=hist,
+                          signal_length=signal_length, loss_history=hist,
                           train_time_s=train_time)
 
 

@@ -249,3 +249,27 @@ def test_multi_inr_fused_shard_map_8dev():
     o_ref = multi_inr_decode(m_ref, r_ref)
     o_f = multi_inr_decode(m_fused, r_f)
     np.testing.assert_allclose(o_f, o_ref, atol=5e-3)
+
+
+def test_multi_inr_fit_many_matches_separate():
+    """Batched multi-clip fitting: one population fit over two clips
+    reconstructs each as well as fitting it alone (same per-chunk seeds are
+    NOT guaranteed, so compare reconstruction quality, not params)."""
+    from inraudio_tpu.train.multi_inr import multi_inr_fit_many
+    fs = 4000
+    t = np.arange(int(0.4 * fs)) / fs
+    sigs = [(0.6 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+            for f in (220.0, 330.0)]
+    cfg = MultiINRConfig(chunk_seconds=0.1, overlap_fraction=0.0)
+    tcfg = TrainConfig(total_steps=300, scan_chunk=100, learning_rate=1e-3)
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        first_omega_0=200.0, hidden_features=32, num_sine=1, num_snake=1))
+    results = multi_inr_fit_many(model, sigs, fs, cfg, tcfg,
+                                 key=jax.random.PRNGKey(0),
+                                 mesh=make_mesh(jax.devices()[:1]))
+    assert len(results) == 2
+    for sig, res in zip(sigs, results):
+        rec = multi_inr_decode(model, res)
+        assert rec.shape == sig.shape
+        snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+        assert snr > 25, snr
