@@ -135,14 +135,6 @@ def bench_multi() -> float:
 
     run = jax.jit(run, donate_argnums=(0,))
 
-    # compile outside the budget (first TPU compile is slow; the warmup
-    # round's steps are free progress, consistent across recipes)
-    t_setup = time.time()
-    states, h = run(states, targets)
-    jax.block_until_ready(h)
-    log(f"compile+warmup: {time.time() - t_setup:.1f}s "
-        f"({ROUND_STEPS} warmup steps excluded from budget)")
-
     # optional per-round stitched-SNR tracking (adds one vmapped decode per
     # round, ~40 ms) — reports time-to-40dB, the BASELINE.md secondary metric
     track_snr = os.environ.get("BENCH_TRACK_SNR", "0") == "1"
@@ -150,14 +142,28 @@ def bench_multi() -> float:
         sig_d = jnp.asarray(signal)
         scales_d = jnp.asarray(scales)
 
+        # rough stitch: ignore crossfade, take each chunk's first `hop`
+        # samples — good to ~1 dB, enough for the time-to-40dB marker.
+        # k*hop can be SHORTER than the signal (tail covered only by the
+        # last chunk's overlap region), so compare over the covered prefix.
+        m = min(k * hop, len(signal))
+
         @jax.jit
         def quick_snr(states):
             outs = jax.vmap(lambda p: model.apply(p, coords))(
                 states.best_params)[:, :, 0] * scales_d[:, None]
-            # rough stitch: ignore crossfade, take each chunk's first `hop`
-            # samples — good to ~1 dB, enough for the time-to-40dB marker
-            flat = outs[:, :hop].reshape(-1)[: sig_d.shape[0]]
-            return calculate_snr(sig_d, flat)
+            flat = outs[:, :hop].reshape(-1)[:m]
+            return calculate_snr(sig_d[:m], flat)
+
+    # compile outside the budget (first TPU compile is slow; the warmup
+    # round's steps are free progress, consistent across recipes)
+    t_setup = time.time()
+    states, h = run(states, targets)
+    jax.block_until_ready(h)
+    if track_snr:
+        _ = float(quick_snr(states))  # compile outside the budget too
+    log(f"compile+warmup: {time.time() - t_setup:.1f}s "
+        f"({ROUND_STEPS} warmup steps excluded from budget)")
 
     t0 = time.time()
     steps = 0

@@ -35,7 +35,9 @@ from .train.loop import TrainConfig
 from .train.multi_inr import (MultiINRConfig, multi_inr_decode,
                               multi_inr_fit, stitch_chunks)
 
-_FORMAT = "inraudio_tpu.inr.v1"
+# v2: quantization is sensitivity-aware (layer-0 weights/biases stay
+# float32) — v1 payloads (uniform leaf quantization) are NOT readable
+_FORMAT = "inraudio_tpu.inr.v2"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,7 +153,7 @@ def decode(payload: dict[str, Any], fused: bool = False,
     model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
     params = payload["params"]
     if meta.get("quantize"):
-        params = dequantize_params(params)
+        params = dequantize_inr_params(params)
     params = jax.tree.map(jnp.asarray, params)
 
     u = max(1, int(upsample))
