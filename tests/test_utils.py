@@ -64,3 +64,34 @@ class TestLandscape:
         assert np.all(np.isfinite(surface))
         center = surface[3, 3]
         np.testing.assert_allclose(center, float(loss_fn(params)), rtol=1e-5)
+
+
+class TestPlots:
+    """Smoke tests for the artifact plots (reference run.py:323-354,
+    utils.py:25-47) — files exist and are non-empty PNGs."""
+
+    def test_all_plot_functions(self, tmp_path):
+        from inraudio_tpu.eval.plots import (plot_loss_history,
+                                             plot_waveform_comparison,
+                                             plotspec, visualizer)
+        rng = np.random.default_rng(0)
+        sig = rng.standard_normal(4096).astype(np.float32)
+        rec = sig + 0.01 * rng.standard_normal(4096).astype(np.float32)
+        paths = {
+            "spec": str(tmp_path / "spec.png"),
+            "vis": str(tmp_path / "vis.png"),
+            "loss": str(tmp_path / "loss.png"),
+            "wave": str(tmp_path / "wave.png"),
+        }
+        plotspec(sig, 8000, paths["spec"])
+        visualizer(np.abs(rng.standard_normal((64, 40))), paths["vis"])
+        plot_loss_history(np.abs(rng.standard_normal(200)) + 1e-4,
+                          np.full(200, 1e-3), paths["loss"],
+                          title="smoke")
+        plot_waveform_comparison(sig, rec, 8000, paths["wave"])
+        import os
+        for name, p in paths.items():
+            assert os.path.exists(p) and os.path.getsize(p) > 1000, name
+        # PNG magic bytes
+        with open(paths["spec"], "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
