@@ -29,11 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data.coords import get_coord
-from .models import (INRModel, SirenSnakeTanhConfig, build_model,
+from .models import (SirenSnakeTanhConfig, build_model,
                      dequantize_params, param_bytes, quantize_params)
 from .train.loop import TrainConfig
-from .train.multi_inr import (MultiINRConfig, multi_inr_decode,
-                              multi_inr_fit, stitch_chunks)
+from .train.multi_inr import (MultiINRConfig, multi_inr_fit,
+                              stitch_chunks)
 
 # v2: quantization is sensitivity-aware (layer-0 weights/biases stay
 # float32) — v1 payloads (uniform leaf quantization) are NOT readable

@@ -13,8 +13,6 @@ audio is evaluated at the full original-rate grid — INR super-resolution.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -36,7 +36,7 @@ from ..eval.plots import (plot_loss_history, plot_waveform_comparison,
                           plotspec)
 from ..models import (INRModel, KANConfig, SirenSnakeTanhConfig, build_model,
                       rff_apply, rff_init)
-from ..train.checkpoint import checkpoint_extra, load_checkpoint, save_checkpoint
+from ..train.checkpoint import load_checkpoint, save_checkpoint
 from ..train.loop import TrainConfig, fit, init_train_state
 
 

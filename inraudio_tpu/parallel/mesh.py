@@ -17,7 +17,6 @@ validated on a virtual 8-device CPU mesh in tests/test_sharding.py and by
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import numpy as np

@@ -22,8 +22,6 @@ magnitude/log by XLA.  Everything here is pure and jit/grad-safe.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 import numpy as np
 
