@@ -273,3 +273,24 @@ def test_multi_inr_fit_many_matches_separate():
         assert rec.shape == sig.shape
         snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
         assert snr > 25, snr
+
+
+def test_multi_inr_fit_many_sharded_8dev():
+    """Per-clip state slicing works across shard boundaries on a real
+    multi-device mesh (slices of chunk-sharded stacked states)."""
+    from inraudio_tpu.train.multi_inr import multi_inr_fit_many
+    fs = 4000
+    t = np.arange(int(0.3 * fs)) / fs
+    sigs = [(0.6 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+            for f in (220.0, 440.0, 660.0)]
+    cfg = MultiINRConfig(chunk_seconds=0.1, overlap_fraction=0.0)
+    tcfg = TrainConfig(total_steps=120, scan_chunk=60, learning_rate=1e-3)
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        first_omega_0=200.0, hidden_features=32, num_sine=1, num_snake=1))
+    results = multi_inr_fit_many(model, sigs, fs, cfg, tcfg,
+                                 key=jax.random.PRNGKey(0),
+                                 mesh=make_mesh(jax.devices()[:8]))
+    assert len(results) == 3
+    for sig, res in zip(sigs, results):
+        rec = multi_inr_decode(model, res)
+        assert rec.shape == sig.shape and np.all(np.isfinite(rec))
