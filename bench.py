@@ -78,6 +78,48 @@ def emit(value: float) -> None:
     }), flush=True)
 
 
+def peak_tflops() -> float:
+    """MXU peak (dense matmul TFLOP/s) for the attached chip, for MFU.
+
+    bf16 peak — the MXU computes bf16 multiplies with f32 accumulate, so
+    this is the hardware ceiling per MXU pass.  The framework's default
+    f32-accurate matmul (bf16x3, ops/pallas_siren.py) issues 3 MXU passes
+    per logical f32 matmul, so hardware-pass utilization is ~3x the
+    model-FLOPs MFU reported here.
+    """
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197.0
+    if "v5p" in kind or "v5" in kind:
+        return 459.0
+    if "v4" in kind:
+        return 275.0
+    if "v6" in kind:
+        return 918.0
+    return 197.0  # unknown chip: assume v5e so MFU stays conservative
+
+
+def fwd_flops_per_sample(params) -> int:
+    """Forward-pass matmul FLOPs per coordinate: 2*in*out per weight."""
+    return sum(2 * int(np.prod(leaf.shape))
+               for leaf in jax.tree_util.tree_leaves(params)
+               if getattr(leaf, "ndim", 0) == 2)
+
+
+def log_mfu(tag: str, samples_per_sec: float, fwd_flops: int,
+            training: bool) -> None:
+    # training step ~= 3x forward FLOPs (fwd 2*P, bwd 4*P per sample)
+    factor = 3.0 if training else 1.0
+    tflops = samples_per_sec * fwd_flops * factor / 1e12
+    peak = peak_tflops()
+    log(f"  {tag}: {tflops:.2f} TFLOP/s model FLOPs = "
+        f"{100.0 * tflops / peak:.2f}% MFU (peak {peak:.0f} bf16 TFLOP/s; "
+        f"{fwd_flops / 1e3:.1f} kFLOP/sample fwd)")
+
+
 def measure_decode(decode_fn, args, samples_per_call: int, reps: int = 20):
     out = decode_fn(*args)
     jax.block_until_ready(out)
@@ -155,15 +197,19 @@ def bench_multi() -> float:
             flat = outs[:, :hop].reshape(-1)[:m]
             return calculate_snr(sig_d[:m], flat)
 
-    # compile outside the budget (first TPU compile is slow; the warmup
-    # round's steps are free progress, consistent across recipes)
+    # compile outside the budget (first TPU compile is slow), then
+    # RE-INITIALIZE the states so the measured 30 s contains every
+    # optimization step — no warmup progress leaks into the headline
     t_setup = time.time()
     states, h = run(states, targets)
     jax.block_until_ready(h)
     if track_snr:
         _ = float(quick_snr(states))  # compile outside the budget too
-    log(f"compile+warmup: {time.time() - t_setup:.1f}s "
-        f"({ROUND_STEPS} warmup steps excluded from budget)")
+    keys = jax.random.split(jax.random.PRNGKey(1), k)
+    states = jax.vmap(lambda kk: init_train_state(model, kk, tc))(keys)
+    jax.block_until_ready(states.params)
+    log(f"compile: {time.time() - t_setup:.1f}s "
+        "(states re-initialized; budget contains all training steps)")
 
     t0 = time.time()
     steps = 0
@@ -219,9 +265,13 @@ def bench_multi() -> float:
         if best is None or snr > best[1] + 0.3:
             best = (name, snr, msps)
     name, snr, msps = best
-    log(f"steps/sec: {steps / max(train_time, 1e-9):.1f}  "
+    sps = steps / max(train_time, 1e-9)
+    log(f"steps/sec: {sps:.1f}  "
         f"decode[{name}]: {msps:.1f} Msamples/s  SNR: {snr:.2f} dB in "
-        f"{train_time:.1f}s (+{ROUND_STEPS} warmup steps)")
+        f"{train_time:.1f}s (budget contains all steps)")
+    fwd = fwd_flops_per_sample(jax.tree_util.tree_map(lambda x: x[0], params))
+    log_mfu("train MFU", sps * k * n, fwd, training=True)
+    log_mfu("decode MFU", msps * 1e6, fwd, training=False)
     return snr
 
 
@@ -266,7 +316,13 @@ def bench_full() -> float:
     state, _ = run_chunk(state, coords_d, targets_d, weight_d)
     jax.block_until_ready(state.params)
     _ = float(snr_now(state, coords_d, targets_d))
-    log(f"compile+warmup: {time.time() - t_setup:.1f}s")
+    # re-initialize so warmup progress doesn't leak into the budget
+    state = jax.device_put(
+        init_train_state(model, jax.random.PRNGKey(1), cfg),
+        replicated_sharding(mesh))
+    jax.block_until_ready(state.params)
+    log(f"compile: {time.time() - t_setup:.1f}s "
+        "(state re-initialized; budget contains all training steps)")
 
     t0 = time.time()
     steps = 0
@@ -289,8 +345,12 @@ def bench_full() -> float:
                           problem.num_samples)
     out = np.asarray(decode(state.best_params, coords_j))
     final_snr = float(calculate_snr(problem.targets, out))
-    log(f"steps/sec: {steps / max(train_time, 1e-9):.1f}  decode: "
+    sps = steps / max(train_time, 1e-9)
+    log(f"steps/sec: {sps:.1f}  decode: "
         f"{msps:.1f} Msamples/s  final SNR: {final_snr:.2f} dB")
+    fwd = fwd_flops_per_sample(state.best_params)
+    log_mfu("train MFU", sps * problem.num_samples, fwd, training=True)
+    log_mfu("decode MFU", msps * 1e6, fwd, training=False)
     return max(best_snr, final_snr)
 
 
