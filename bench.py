@@ -56,6 +56,7 @@ from inraudio_tpu.train import (MultiINRConfig, TrainConfig,  # noqa: E402
                                 init_train_state, make_train_step)
 from inraudio_tpu.train.multi_inr import (MultiINRResult,  # noqa: E402
                                           chunk_signal, multi_inr_decode)
+from inraudio_tpu.utils.observability import MetricsLogger  # noqa: E402
 
 WAV = os.environ.get("BENCH_WAV", "/root/reference/gt_bach.wav")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "30"))
@@ -63,6 +64,11 @@ TARGET_DB = 40.0
 MODE = os.environ.get("BENCH_MODE", "multi")
 ROUND_STEPS = int(os.environ.get("BENCH_CHUNK_STEPS", "200"))
 MAX_STEPS = int(os.environ.get("BENCH_MAX_STEPS", "200000"))
+# per-round JSONL metric stream (same MetricsLogger the runner uses)
+METRICS = MetricsLogger(os.environ.get(
+    "BENCH_METRICS",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_metrics.jsonl")))
 
 
 def log(*a):
@@ -224,8 +230,13 @@ def bench_multi() -> float:
             if t40 is None and s_now >= TARGET_DB:
                 t40 = time.time() - t0
             extra = f" snr~{s_now:6.2f} dB"
+        worst = float(np.max(np.asarray(h[-1])))
+        METRICS.log({"event": "round", "mode": "multi", "step": steps,
+                     "worst_chunk_loss": worst,
+                     "elapsed_s": round(time.time() - t0, 3),
+                     **({"snr_db": s_now} if track_snr else {})})
         log(f"  t={time.time() - t0:5.1f}s steps={steps:6d} "
-            f"worst-chunk loss={float(np.max(np.asarray(h[-1]))):.3e}{extra}")
+            f"worst-chunk loss={worst:.3e}{extra}")
     train_time = time.time() - t0
     if track_snr and t40 is not None:
         log(f"time-to-{TARGET_DB:.0f}dB: {t40:.1f}s "
@@ -333,6 +344,9 @@ def bench_full() -> float:
         steps += ROUND_STEPS
         snr = float(snr_now(state, coords_d, targets_d))
         best_snr = max(best_snr, snr)
+        METRICS.log({"event": "round", "mode": "full", "step": steps,
+                     "loss": float(losses[-1]), "snr_db": snr,
+                     "elapsed_s": round(time.time() - t0, 3)})
         log(f"  t={time.time() - t0:5.1f}s steps={steps:6d} "
             f"loss={float(losses[-1]):.3e} snr={snr:6.2f} dB")
         if snr >= TARGET_DB:

@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     fit.add_argument("--fused", action="store_true",
                      help="Pallas fused kernel + polynomial sin (TPU only)")
     fit.add_argument("--visualization", action="store_true")
+    fit.add_argument("--profile", action="store_true",
+                     help="capture a jax.profiler trace of one post-compile "
+                          "round into <exp>/trace/")
 
     enc = sub.add_parser(
         "encode", help="compress a wav into an .inr.npz (multi-INR codec)")
@@ -90,6 +93,8 @@ def main(argv=None) -> int:
     fm.add_argument("--total-steps", type=int, default=3000)
     fm.add_argument("--fused", action="store_true",
                     help="Pallas fused kernel + polynomial sin (TPU only)")
+    fm.add_argument("--metrics", default=None,
+                    help="stream per-round JSONL metrics to this path")
 
     args = ap.parse_args(argv)
     if args.cmd == "fit":
@@ -139,13 +144,20 @@ def main(argv=None) -> int:
         model = build_model("mlp", SirenSnakeTanhConfig(
             first_omega_0=args.omega, hidden_features=args.hidden),
             fused=args.fused, approx_sin=args.fused)
+        metrics = None
+        if args.metrics:
+            from .utils.observability import MetricsLogger
+            metrics = MetricsLogger(args.metrics)
         res = multi_inr_fit(
             model, sig, fs,
             MultiINRConfig(chunk_seconds=args.chunk_s,
                            overlap_fraction=args.overlap),
             TrainConfig(total_steps=args.total_steps,
                         learning_rate=args.learning_rate,
-                        grad_clip_norm=args.grad_clip))
+                        grad_clip_norm=args.grad_clip),
+            metrics=metrics)
+        if metrics is not None:
+            metrics.close()
         rec = multi_inr_decode(model, res)
         write_wav(args.output, fs, rec)
         print(json.dumps({

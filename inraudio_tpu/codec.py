@@ -144,7 +144,10 @@ def decode(payload: dict[str, Any], fused: bool = False,
     """
     meta = payload["meta"]
     if meta.get("format") != _FORMAT:
-        raise ValueError(f"not an {_FORMAT} payload")
+        raise ValueError(
+            f"unsupported payload format {meta.get('format')!r}: this build "
+            f"reads {_FORMAT} only (older payloads, e.g. v1's uniform leaf "
+            "quantization, must be re-encoded from the source audio)")
     m = meta["model"]
     model_cfg = SirenSnakeTanhConfig(
         hidden_features=m["hidden_features"], num_sine=m["num_sine"],
@@ -157,8 +160,18 @@ def decode(payload: dict[str, Any], fused: bool = False,
     params = jax.tree.map(jnp.asarray, params)
 
     u = max(1, int(upsample))
-    n, hop = meta["chunk_length"] * u, meta["hop"] * u
-    coords = jnp.asarray(get_coord(n, dim=1))
+    n0 = meta["chunk_length"]
+    if u == 1:
+        coords = jnp.asarray(get_coord(n0, dim=1))
+    else:
+        # subdivide the TRAINING grid (step 2/(n0-1)) u times so every u-th
+        # decode sample sits exactly on a training coordinate;
+        # get_coord(n0*u) would time-stretch each chunk by u*(n0-1)/(n0*u-1)
+        # and add phase mismatch in the crossfade overlaps
+        j = np.arange(n0 * u, dtype=np.float64)
+        coords = jnp.asarray(
+            (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32))
+    hop = meta["hop"] * u
     outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
     return (meta["sample_rate"] * u,

@@ -38,15 +38,17 @@ from ..models import (INRModel, KANConfig, SirenSnakeTanhConfig, build_model,
                       rff_apply, rff_init)
 from ..train.checkpoint import load_checkpoint, save_checkpoint
 from ..train.loop import TrainConfig, fit, init_train_state
+from ..utils.observability import MetricsLogger
 
 
 def make_experiment_folder(experiment_path: str, tag: str) -> str:
     """``<experiment_path>/<tag>`` with the reference's "(2)" collision
-    rename (run.py:36-40)."""
+    rename (run.py:36-40), looped so a third run gets "(2)(2)" instead of
+    silently overwriting."""
     folder = os.path.join(experiment_path, tag)
-    if os.path.exists(folder):
+    while os.path.exists(folder):
         folder = folder + "(2)"
-    os.makedirs(folder, exist_ok=True)
+    os.makedirs(folder)
     return folder
 
 
@@ -108,6 +110,7 @@ def _run_experiment(
     make_plots: bool, track_best: bool, visualization: bool,
     hparams: dict[str, Any],
     fused: bool = False,
+    profile: bool = False,
 ) -> dict[str, Any]:
     """Shared engine behind train/train_from_signal."""
     # --- model + optional RFF input encoding (run.py:81-82,141-144)
@@ -133,10 +136,16 @@ def _run_experiment(
         template = init_train_state(model, key, cfg)
         state = load_checkpoint(prev_ckpt_path, template)
 
-    # --- fit
+    # --- fit, streaming per-round metrics to <exp>/metrics.jsonl
+    metrics = MetricsLogger(os.path.join(experiment_folder, "metrics.jsonl"))
+    metrics.log({"event": "config",
+                 **{kk: v for kk, v in hparams.items()
+                    if isinstance(v, (int, float, str, bool, type(None)))}})
     t0 = time.time()
     result = fit(model, enc_coords, problem.targets, cfg, key=key,
-                 weight=problem.loss_weight, state=state)
+                 weight=problem.loss_weight, state=state, metrics=metrics,
+                 profile_dir=(os.path.join(experiment_folder, "trace")
+                              if profile else None))
     train_time = time.time() - t0
 
     # --- decode (+ BWE), de-normalise, write wav (run.py:249-296)
@@ -199,6 +208,12 @@ def _run_experiment(
     record["best_loss"] = result.best_loss
     record["steps_per_sec"] = result.steps_per_sec
     save_parameters(experiment_folder, record)
+    metrics.log({"event": "final", "snr_db": snr,
+                 "best_loss": result.best_loss,
+                 "best_iter": result.best_iter,
+                 "train_time_s": round(train_time, 3),
+                 "steps_per_sec": round(result.steps_per_sec, 2)})
+    metrics.close()
 
     return {
         "ckpt": ckpt_path,
@@ -246,7 +261,8 @@ def train(experiment_path: str,
           make_plots: bool = True,
           visualization: bool = False,
           track_best: bool = True,
-          fused: bool = False) -> str:
+          fused: bool = False,
+          profile: bool = False) -> str:
     """File-based experiment (reference run.py:30-400). Returns the
     checkpoint path (run.py:400) for procedural chaining.
 
@@ -284,7 +300,7 @@ def train(experiment_path: str,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
         track_best=track_best, visualization=visualization, hparams=hparams,
-        fused=fused)
+        fused=fused, profile=profile)
     return out["ckpt"]
 
 
@@ -316,7 +332,8 @@ def train_from_signal(experiment_path: str,
                       make_plots: bool = True,
                       visualization: bool = False,
                       track_best: bool = True,
-                      fused: bool = False) -> dict[str, Any]:
+                      fused: bool = False,
+                      profile: bool = False) -> dict[str, Any]:
     """In-memory experiment (reference run_experimental.py:30-327): coords
     span [-100, 100] by default (utils.py:172), the decode is de-normalised
     by the stored peak, and the residual ``input - recovered`` is returned
@@ -344,5 +361,5 @@ def train_from_signal(experiment_path: str,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
         track_best=track_best, visualization=visualization, hparams=hparams,
-        fused=fused)
+        fused=fused, profile=profile)
     return out

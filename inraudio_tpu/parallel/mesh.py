@@ -11,7 +11,9 @@ one that fits this small-model/huge-batch workload (SURVEY.md section 5):
 
 Under ``jit`` XLA's SPMD partitioner then emits exactly one psum per step
 (the gradient all-reduce) — no hand-written collectives.  The layout is
-validated on a virtual 8-device CPU mesh in tests/test_sharding.py and by
+validated on a virtual 8-device CPU mesh in
+tests/test_train.py::TestShardingEquivalence,
+tests/test_experiments.py (chunk-axis shard_map tests) and by
 ``__graft_entry__.dryrun_multichip``.
 """
 
@@ -70,7 +72,9 @@ def shard_problem_arrays(mesh: Mesh, coords: np.ndarray, targets: np.ndarray,
     if weight is None and padded:
         weight = np.ones((n, 1), dtype=np.float32)
     if weight is not None:
-        weight_p, _ = pad_to_multiple(np.asarray(weight, dtype=np.float32), n_dev)
+        # accept 1-D (n,) weights from the public fit() surface
+        weight = np.asarray(weight, dtype=np.float32).reshape(n, -1)
+        weight_p, _ = pad_to_multiple(weight, n_dev)
         # normalise so mean(weight) over the padded batch equals 1 on real rows
         weight_p = weight_p * (weight_p.shape[0] / max(np.sum(weight_p[:, 0]), 1e-12))
         weight_dev = jax.device_put(weight_p, cs)

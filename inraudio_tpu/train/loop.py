@@ -27,6 +27,7 @@ import numpy as np
 
 from ..models import INRModel
 from ..parallel.mesh import make_mesh, replicated_sharding, shard_problem_arrays
+from ..utils.observability import MetricsLogger, profile_trace
 from .losses import mix_loss
 from .optim import (AdamConfig, AdamState, PlateauConfig, PlateauState,
                     adam_init, adam_update, clip_by_global_norm,
@@ -151,7 +152,9 @@ def fit(model: INRModel,
         mesh=None,
         state: TrainState | None = None,
         checkpoint_every: int = 0,
-        checkpoint_path: str | None = None) -> FitResult:
+        checkpoint_path: str | None = None,
+        metrics: MetricsLogger | None = None,
+        profile_dir: str | None = None) -> FitResult:
     """Fit the INR to (coords, targets) with the full jitted scan loop.
 
     ``mesh=None`` builds a 1-D mesh over all visible devices: coords/targets
@@ -164,6 +167,11 @@ def fit(model: INRModel,
     boundaries) — crash resilience the reference lacks (its only recovery is
     the end-of-run checkpoint, run.py:356-363); resume by loading it into
     ``state``.
+
+    ``metrics`` streams one JSONL record per scan-chunk round (step, loss,
+    lr, steps/sec) — the structured replacement for the reference's host-side
+    loss lists (run.py:180-190).  ``profile_dir`` captures a jax.profiler
+    trace of one post-compile round into that directory.
     """
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -187,16 +195,32 @@ def fit(model: INRModel,
         return jax.lax.scan(body, state, None, length=length)
 
     chunk = max(1, min(cfg.scan_chunk, cfg.total_steps))
+    n_rounds = -(-cfg.total_steps // chunk)
     t0 = time.time()
     loss_chunks, lr_chunks = [], []
     done = 0
     last_ckpt = 0
+    rounds = 0
     while done < cfg.total_steps:
         n = min(chunk, cfg.total_steps - done)
-        state, (lh, lrh) = run(state, coords_d, targets_d, weight_d, length=n)
+        # profile a post-compile round (round 1, or round 0 if it's the only
+        # one) so the trace holds steady-state step time, not compilation
+        profiled = profile_dir is not None and rounds == min(1, n_rounds - 1)
+        with profile_trace(profile_dir, enabled=profiled):
+            state, (lh, lrh) = run(state, coords_d, targets_d, weight_d,
+                                   length=n)
+            if profiled:
+                jax.block_until_ready(state.params)
         loss_chunks.append(lh)
         lr_chunks.append(lrh)
         done += n
+        rounds += 1
+        if metrics is not None:
+            elapsed = time.time() - t0
+            metrics.log({"event": "round", "step": done,
+                         "loss": float(lh[-1]), "lr": float(lrh[-1]),
+                         "elapsed_s": round(elapsed, 3),
+                         "steps_per_sec": round(done / max(elapsed, 1e-9), 2)})
         if (checkpoint_every and checkpoint_path
                 and done - last_ckpt >= checkpoint_every
                 and done < cfg.total_steps):
@@ -206,6 +230,11 @@ def fit(model: INRModel,
                             extra={"steps_done": done})
             last_ckpt = done
     jax.block_until_ready(state.params)
+    # On the tunneled axon TPU backend block_until_ready can return before
+    # remote execution finishes; a real device->host fetch of one final-state
+    # leaf forces the whole scan chain to complete, so train_time is
+    # wall-truth (measured: 3.7 s "internal" vs 102 s actual without this).
+    np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     train_time = time.time() - t0
     loss_hist = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else loss_chunks[0]
     lr_hist = jnp.concatenate(lr_chunks) if len(lr_chunks) > 1 else lr_chunks[0]

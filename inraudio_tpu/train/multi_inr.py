@@ -50,6 +50,14 @@ class MultiINRConfig:
     chunk_seconds: float = 1.0
     overlap_fraction: float = 0.25  # of the chunk length, each side
 
+    def __post_init__(self):
+        # >0.5 would make the fade-out ramp overwrite part of the fade-in
+        # in _crossfade_window, silently degrading the stitch
+        if not 0.0 <= self.overlap_fraction <= 0.5:
+            raise ValueError(
+                f"overlap_fraction must be in [0, 0.5], got "
+                f"{self.overlap_fraction}")
+
 
 class MultiINRResult(NamedTuple):
     states: TrainState        # stacked on the chunk axis
@@ -97,15 +105,17 @@ def multi_inr_fit(model: INRModel,
                   cfg: MultiINRConfig | None = None,
                   train_cfg: TrainConfig | None = None,
                   key: jax.Array | None = None,
-                  mesh=None) -> MultiINRResult:
+                  mesh=None,
+                  metrics=None) -> MultiINRResult:
     """Fit one INR per chunk, all chunks at once (vmap over the chunk axis,
-    chunk axis sharded over the mesh)."""
+    chunk axis sharded over the mesh).  ``metrics`` (a MetricsLogger)
+    streams one record per scan round."""
     cfg = cfg or MultiINRConfig()
     train_cfg = train_cfg or TrainConfig()
     chunks, n, hop = chunk_signal(np.asarray(signal, dtype=np.float32),
                                   sample_rate, cfg)
     return _fit_chunk_population(model, chunks, n, hop, len(signal),
-                                 cfg, train_cfg, key, mesh)
+                                 cfg, train_cfg, key, mesh, metrics=metrics)
 
 
 def multi_inr_fit_many(model: INRModel,
@@ -114,7 +124,8 @@ def multi_inr_fit_many(model: INRModel,
                        cfg: MultiINRConfig | None = None,
                        train_cfg: TrainConfig | None = None,
                        key: jax.Array | None = None,
-                       mesh=None) -> list[MultiINRResult]:
+                       mesh=None,
+                       metrics=None) -> list[MultiINRResult]:
     """Fit SEVERAL clips at once: their chunk populations concatenate into
     one vmapped batch, trained in a single scan.
 
@@ -137,7 +148,7 @@ def multi_inr_fit_many(model: INRModel,
     n, hop = per_clip[0][1], per_clip[0][2]
     chunks = np.concatenate([c for c, _, _ in per_clip], axis=0)
     res = _fit_chunk_population(model, chunks, n, hop, chunks.shape[0] * n,
-                                cfg, train_cfg, key, mesh)
+                                cfg, train_cfg, key, mesh, metrics=metrics)
     # split the stacked states/scales back per clip
     out = []
     start = 0
@@ -156,7 +167,8 @@ def multi_inr_fit_many(model: INRModel,
 
 
 def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
-                          train_cfg, key, mesh) -> MultiINRResult:
+                          train_cfg, key, mesh,
+                          metrics=None) -> MultiINRResult:
     """Core of multi_inr_fit: train a (k, n) chunk population."""
     key = key if key is not None else jax.random.PRNGKey(0)
     mesh = mesh or make_mesh()
@@ -204,7 +216,18 @@ def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
         states, h = run(states, targets_d, length=m)
         hists.append(h)
         done += m
+        if metrics is not None:
+            last = np.asarray(h[-1])[:k]
+            elapsed = time.time() - t0
+            metrics.log({"event": "round", "step": done,
+                         "loss": float(np.mean(last)),
+                         "worst_chunk_loss": float(np.max(last)),
+                         "elapsed_s": round(elapsed, 3),
+                         "steps_per_sec": round(done / max(elapsed, 1e-9), 2)})
     jax.block_until_ready(states.params)
+    # real device->host fetch: the axon tunnel's block_until_ready can
+    # return before remote execution completes (see loop.py fit())
+    np.asarray(jax.tree_util.tree_leaves(states.params)[0])
     train_time = time.time() - t0
     hist = np.concatenate([np.asarray(h) for h in hists], axis=0)[:, :k]
     return MultiINRResult(states=states, chunk_scales=scales,

@@ -68,9 +68,18 @@ def test_decode_upsample():
     payload = encode(sig, FS, SMALL)
     fs2, rec2 = decode(payload, upsample=2)
     assert fs2 == 2 * FS and len(rec2) == 2 * len(sig)
-    # the dense decode tracks the original-rate decode (grids differ by
-    # linspace endpoint placement, so compare as SNR, not elementwise)
+    # the upsample grid subdivides the training grid, so every 2nd decode
+    # sample sits exactly on an original-rate coordinate; only the
+    # crossfade ramp weights differ between the two stitches
     fs1, rec1 = decode(payload)
     err = rec2[::2] - rec1
     snr = 10 * np.log10(np.sum(rec1 ** 2) / (np.sum(err ** 2) + 1e-20))
-    assert snr > 15, snr
+    assert snr > 30, snr
+
+
+def test_old_format_rejected_with_versioned_error():
+    import pytest
+    payload = encode(_sig(0.1), FS, SMALL)
+    payload["meta"] = dict(payload["meta"], format="inraudio_tpu.inr.v1")
+    with pytest.raises(ValueError, match="v1.*re-encoded|unsupported"):
+        decode(payload)

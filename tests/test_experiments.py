@@ -37,6 +37,13 @@ class TestExperimentFolder:
             f2 = make_experiment_folder(d, "exp")
             assert f1 != f2 and f2.endswith("(2)")
 
+    def test_third_collision_gets_fresh_folder(self):
+        # the reference loops the "(2)" rename (run.py:36-38); a third run
+        # must not silently reuse the "(2)" folder
+        with tempfile.TemporaryDirectory() as d:
+            folders = {make_experiment_folder(d, "exp") for _ in range(3)}
+            assert len(folders) == 3
+
 
 class TestTrainRunner:
     def test_wave_end_to_end_bach(self):
@@ -58,6 +65,20 @@ class TestTrainRunner:
             assert np.isfinite(rec["SNR"])
             assert rec["best_loss"] < 0.9 * rec.get("first_loss", 1.0) or True
             assert rec["SNR"] > -5, rec["SNR"]
+            # metrics.jsonl stream: config header, per-round records with
+            # the promised schema, final summary (SURVEY.md section 5)
+            from inraudio_tpu.utils.observability import read_metrics
+            stream = read_metrics(os.path.join(folder, "metrics.jsonl"))
+            events = [r["event"] for r in stream]
+            assert events[0] == "config" and events[-1] == "final"
+            rounds = [r for r in stream if r["event"] == "round"]
+            assert rounds, "no per-round records streamed"
+            for r in rounds:
+                for k in ("step", "loss", "lr", "elapsed_s",
+                          "steps_per_sec", "t"):
+                    assert k in r, (k, r)
+            assert rounds[-1]["step"] == rec["total_steps"]
+            assert stream[-1]["snr_db"] == rec["SNR"]
 
     def test_mdct_end_to_end(self):
         with tempfile.TemporaryDirectory() as d:
@@ -138,6 +159,15 @@ class TestProceduralAndBandSplit:
 
 
 class TestMultiINR:
+    def test_overlap_fraction_validated(self):
+        import pytest
+        from inraudio_tpu.train import MultiINRConfig
+        with pytest.raises(ValueError):
+            MultiINRConfig(overlap_fraction=0.6)
+        with pytest.raises(ValueError):
+            MultiINRConfig(overlap_fraction=-0.1)
+        MultiINRConfig(overlap_fraction=0.5)  # boundary ok
+
     def test_chunking_roundtrip(self):
         sig = np.arange(1000, dtype=np.float32)
         cfg = MultiINRConfig(chunk_seconds=0.01, overlap_fraction=0.25)

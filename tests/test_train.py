@@ -134,6 +134,20 @@ class TestCheckpoint:
                 load_checkpoint(path, template)
 
 
+def test_fit_accepts_1d_weight():
+    """The public fit(weight=...) surface takes (n,) as well as (n, 1)."""
+    coords, targets, _ = _sine_problem(duration=0.02)
+    model = build_model("mlp", SMALL)
+    cfg = TrainConfig(total_steps=10, scan_chunk=5)
+    w1 = np.ones(len(coords), dtype=np.float32)
+    res1 = fit(model, coords, targets, cfg, key=KEY, weight=w1,
+               mesh=_mesh1())
+    res2 = fit(model, coords, targets, cfg, key=KEY,
+               weight=w1.reshape(-1, 1), mesh=_mesh1())
+    assert np.isfinite(res1.loss_history).all()
+    np.testing.assert_allclose(res1.loss_history, res2.loss_history)
+
+
 class TestShardingEquivalence:
     def test_8_device_fit_matches_1_device(self):
         """Coordinate-sharded DP over 8 fake CPU devices must reproduce the
@@ -147,8 +161,12 @@ class TestShardingEquivalence:
                    mesh=make_mesh(jax.devices()[:1]))
         res8 = fit(model, coords, targets, cfg, key=KEY,
                    mesh=make_mesh(jax.devices()[:8]))
-        # early steps are wiring-sensitive (a wrong weighting or missing
-        # all-reduce shows up immediately); later steps only to within the
+        # step 1 has zero accumulated divergence: a missing psum or wrong
+        # weighting shows up as a large relative error, so the bound is
+        # tight (reduction-order noise alone is ~1e-7)
+        np.testing.assert_allclose(res8.loss_history[0],
+                                   res1.loss_history[0], rtol=1e-5)
+        # early steps are wiring-sensitive; later steps only to within the
         # chaos amplification of float reduction-order noise
         np.testing.assert_allclose(res8.loss_history[:10],
                                    res1.loss_history[:10], rtol=1e-2)
@@ -168,6 +186,8 @@ class TestShardingEquivalence:
                    mesh=make_mesh(jax.devices()[:1]))
         res8 = fit(model, coords, targets, cfg, key=KEY,
                    mesh=make_mesh(jax.devices()[:8]))
+        np.testing.assert_allclose(res8.loss_history[0],
+                                   res1.loss_history[0], rtol=1e-5)
         np.testing.assert_allclose(res8.loss_history[:10],
                                    res1.loss_history[:10], rtol=1e-2)
         np.testing.assert_allclose(np.log10(res8.loss_history),
