@@ -188,7 +188,8 @@ def fft_fitting(
         height=height,
         width=width,
         method="fft",
-        decode={"kind": "fft", "scale": scale, "n_fft": n_fft},
+        decode={"kind": "fft", "scale": scale, "n_fft": n_fft,
+                "length": int(len(data))},
     )
 
 

@@ -5,7 +5,8 @@ from .windows import (sine_window, hann_window, hann_window_periodic,
 from .mdct import mdct, imdct, stmdct, istmdct, num_stmdct_frames
 from .snr import calculate_snr
 from .filters import butter_coeffs, lfilter, filtfilt, hpfilter, lpfilter
-from .stft import stft_magnitude, frame_signal
+from .stft import (stft_magnitude, frame_signal, stft, stft_real_imag,
+                   istft, griffin_lim)
 from .psycho import thresh_quiet, intensity, hearing_threshold_mask
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "mdct", "imdct", "stmdct", "istmdct", "num_stmdct_frames",
     "calculate_snr",
     "butter_coeffs", "lfilter", "filtfilt", "hpfilter", "lpfilter",
-    "stft_magnitude", "frame_signal",
+    "stft_magnitude", "frame_signal", "stft", "stft_real_imag", "istft",
+    "griffin_lim",
     "thresh_quiet", "intensity", "hearing_threshold_mask",
 ]

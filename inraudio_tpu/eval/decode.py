@@ -67,8 +67,9 @@ def decode_problem(model: INRModel, params, problem: FittingProblem,
       original-rate grid and the output rate is the original rate.
     - mdct: reshape (h, w), invert ``out*scale + mean - shift`` then ``exp``
       when takelog (run.py:282-286), ISTMDCT overlap-add.
-    - fft: de-normalised magnitude matrix (the reference never wires an
-      FFT-domain decode; the magnitude target has no phase).
+    - fft: Griffin-Lim phase recovery over the fitted magnitude (the
+      reference never wires an FFT-domain decode, utils.py:233-310; here
+      the magnitude target decodes to an audible waveform).
     ``encode`` optionally maps raw coords -> features (RFF/posenc), matching
     how the model was trained (run.py:141-144).
     """
@@ -109,5 +110,12 @@ def decode_problem(model: INRModel, params, problem: FittingProblem,
                                  n=d["n"]))
         return wav.astype(np.float32), problem.sample_rate
     if problem.method == "fft":
-        return (out * d["scale"]).astype(np.float32), problem.sample_rate
+        from ..data.fittings import hann_window_torch
+        from ..dsp.stft import griffin_lim
+        n_fft = d["n_fft"]
+        window = jnp.asarray(hann_window_torch(n_fft), dtype=jnp.float32)
+        wav = griffin_lim(jnp.asarray(out * d["scale"], dtype=jnp.float32),
+                          n_fft=n_fft, hop=n_fft // 4, window=window,
+                          length=d.get("length"))
+        return np.asarray(wav).astype(np.float32), problem.sample_rate
     raise ValueError(f"unknown method {problem.method!r}")

@@ -74,21 +74,25 @@ def build_arch(arch: str, in_features: int, hidden: int, num_sine: int,
                hidden_omega: float, a_initial: float | None,
                first_linear: bool = False,
                last_linear: bool = True,
-               fused: bool = False) -> INRModel:
+               fused: bool = False,
+               rff_b=None) -> INRModel:
     """Arch dispatch (run.py:92-113): 'mlp' -> SirenWithSnakeTanh recipe,
     'kan' -> KAN([in, hidden, hidden, 1]).
 
     ``fused=True`` (TPU only) routes the mlp through the Pallas full-stack
     kernel with polynomial sin — ~1.8x training, ~3x decode (BASELINE.md).
-    Encoded inputs (RFF, in_features > 8) fall back to the XLA path."""
+    ``rff_b``: the mlp owns the RFF encoding (raw-coordinate apply; folded
+    into the fused kernel), so the reference's num_freq sweep family
+    (run.py:141-144) gets the kernel speedup too."""
     if arch == "mlp":
-        fused = fused and in_features <= 8
+        fused = fused and (rff_b is not None or in_features <= 8)
         return build_model("mlp", SirenSnakeTanhConfig(
             in_features=in_features, hidden_features=hidden,
             num_sine=num_sine, num_snake=num_snake, num_tanh=num_tanh,
             first_linear=first_linear, last_linear=last_linear,
             first_omega_0=omega, hidden_omega_0=hidden_omega,
-            a_initial=a_initial), fused=fused, approx_sin=fused)
+            a_initial=a_initial), fused=fused, approx_sin=fused,
+            rff_b=rff_b)
     if arch == "kan":
         return build_model("kan", KANConfig(
             layers_hidden=(in_features, hidden, hidden, 1)))
@@ -117,14 +121,23 @@ def _run_experiment(
     if num_freq:
         rff_b = rff_init(jax.random.fold_in(key, 1), problem.in_features,
                          num_freq, sigma=sigma)
-        encode = lambda c: rff_apply(rff_b, c)  # noqa: E731
         in_features = 2 * num_freq
-        enc_coords = np.asarray(encode(jnp.asarray(problem.coords)))
+        if arch == "mlp":
+            # the model owns the encoding (folded into the fused kernel):
+            # raw coords stream to the device, not a (n, 2F) feature matrix
+            encode = None
+            enc_coords = problem.coords
+        else:
+            encode = lambda c: rff_apply(rff_b, c)  # noqa: E731
+            enc_coords = np.asarray(rff_apply(rff_b,
+                                              jnp.asarray(problem.coords)))
+            rff_b = None  # arch consumes pre-encoded features
     else:
         rff_b, encode, in_features = None, None, problem.in_features
         enc_coords = problem.coords
     model = build_arch(arch, in_features, hidden, num_sine, num_snake,
-                       num_tanh, omega, hidden_omega, a_initial, fused=fused)
+                       num_tanh, omega, hidden_omega, a_initial, fused=fused,
+                       rff_b=rff_b)
 
     cfg = TrainConfig(total_steps=total_steps, learning_rate=learning_rate,
                       min_learning_rate=min_learning_rate,
@@ -152,8 +165,7 @@ def _run_experiment(
     recovered, out_rate = decode_problem(model, result.params, problem,
                                          bwe=bwe, encode=encode)
     wav_path = os.path.join(experiment_folder, "output.wav")
-    if problem.method in ("wave", "multi", "mdct"):
-        write_wav(wav_path, out_rate, recovered)
+    write_wav(wav_path, out_rate, recovered)
 
     # --- evaluate vs the reference signal (run.py:299-335)
     ref = reference_signal
@@ -164,12 +176,14 @@ def _run_experiment(
         q = reference_rate // problem.sample_rate
         ref_cmp = decimate_signal(ref, q) if q > 1 else ref
         rate_cmp = problem.sample_rate
-    if problem.method == "mdct":
+    if problem.method in ("mdct", "fft"):
         peak = float(np.max(np.abs(ref_cmp)))
-        ref_cmp = ref_cmp / peak  # mdct target was fit on normalised audio
-    snr = (reconstruction_snr(ref_cmp, recovered,
-                              trim=1024 if problem.method == "mdct" else 0)
-           if problem.method != "fft" else float("nan"))
+        ref_cmp = ref_cmp / peak  # spectral targets fit on normalised audio
+    # fft decodes via Griffin-Lim (phase recovery): SNR is finite but
+    # phase-limited — spectral fidelity is the meaningful number there
+    snr = reconstruction_snr(ref_cmp, recovered,
+                             trim=1024 if problem.method in ("mdct", "fft")
+                             else 0)
 
     # --- artifacts
     ckpt_path = save_checkpoint(
@@ -194,14 +208,15 @@ def _run_experiment(
         plot_loss_history(result.loss_history, result.lr_history,
                           os.path.join(experiment_folder, "loss.png"),
                           title=f"time {train_time/60:.2f} min")
-        if problem.method != "fft":
-            plotspec(ref_cmp, rate_cmp,
-                     os.path.join(experiment_folder, "spec_ref.png"))
-            plotspec(recovered, out_rate,
-                     os.path.join(experiment_folder, "spec.png"))
-            plot_waveform_comparison(
-                ref_cmp, recovered, out_rate,
-                os.path.join(experiment_folder, "wave.png"))
+        # fft now decodes to a waveform too (Griffin-Lim), so every method
+        # gets the full plot set
+        plotspec(ref_cmp, rate_cmp,
+                 os.path.join(experiment_folder, "spec_ref.png"))
+        plotspec(recovered, out_rate,
+                 os.path.join(experiment_folder, "spec.png"))
+        plot_waveform_comparison(
+            ref_cmp, recovered, out_rate,
+            os.path.join(experiment_folder, "wave.png"))
 
     record = experiment_record(hparams, result.params, train_time, snr)
     record["best_iter"] = result.best_iter
@@ -219,8 +234,7 @@ def _run_experiment(
         "ckpt": ckpt_path,
         "ref": ref_cmp,
         "rec": recovered,
-        "res": (ref_cmp[: len(recovered)] - recovered[: len(ref_cmp)]
-                if problem.method != "fft" else None),
+        "res": ref_cmp[: len(recovered)] - recovered[: len(ref_cmp)],
         "snr": snr,
         "rate": out_rate,
         "result": result,

@@ -42,6 +42,7 @@ class INRModel:
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
                 approx_sin: bool = False, interpret: bool = False,
+                rff_b: Any = None,
                 **overrides) -> INRModel:
     """Factory over the zoo: arch in {'mlp', 'siren', 'kan', 'relu'}.
 
@@ -52,6 +53,13 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
     additionally swaps sin/cos for the in-kernel Cody-Waite polynomial pair
     (~1e-6 abs error) — the stack is transcendental-bound, so this is worth
     ~3x on both decode and the training step (measured, BASELINE.md).
+
+    ``rff_b`` (F, d): the model OWNS the Gaussian Fourier encoding — apply
+    takes raw coordinates and cfg.in_features must be 2F.  On the fused
+    path the encoding is folded into the kernel (raw coords are the only
+    per-step HBM input); on the XLA path it is recomputed per step and
+    fused by XLA (cheaper than streaming a precomputed (n, 2F) feature
+    matrix from HBM).
     """
     if arch == "mlp":
         cfg = config or SirenSnakeTanhConfig(**overrides)
@@ -59,11 +67,20 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
             # ``interpret=True`` runs the kernels in the Pallas interpreter
             # (CPU-executable — used by the virtual-device sharding tests)
             from ..ops.pallas_siren_train import fused_siren_train_apply
+            name = ("siren_snake_tanh_fused_rff" if rff_b is not None
+                    else "siren_snake_tanh_fused")
             return INRModel(
-                name="siren_snake_tanh_fused", config=cfg,
+                name=name, config=cfg,
                 init=lambda key: siren_snake_tanh_init(key, cfg),
                 apply=lambda p, c: fused_siren_train_apply(
-                    p, cfg, c, approx_sin=approx_sin, interpret=interpret))
+                    p, cfg, c, approx_sin=approx_sin, interpret=interpret,
+                    rff_b=rff_b))
+        if rff_b is not None:
+            return INRModel(
+                name="siren_snake_tanh_rff", config=cfg,
+                init=lambda key: siren_snake_tanh_init(key, cfg),
+                apply=lambda p, c: siren_snake_tanh_apply(
+                    p, cfg, rff_apply(rff_b, c)))
         return INRModel(
             name="siren_snake_tanh", config=cfg,
             init=lambda key: siren_snake_tanh_init(key, cfg),

@@ -145,20 +145,44 @@ def _sin_poly(r):
     return r * p
 
 
+def _rff_features_in_kernel(x, bt, in_features, sin_fn, cos_fn):
+    """In-VMEM RFF encoding: v = x @ (2*pi*B^T) via exact f32 VPU
+    multiply-adds over the tiny raw-coordinate dim, then (cos v, sin v).
+
+    Folding the encoding into the kernel means the per-step HBM input is the
+    raw (n, d) coordinates — 4*d bytes/row — instead of the precomputed
+    (n, 2F) feature matrix (8*F bytes/row; 512x more at F=256, d=1), which
+    is what starves the XLA path (reference RFF configs, run.py:141-144).
+    """
+    v = None
+    for d in range(in_features):
+        term = x[:, d:d + 1] * bt[d:d + 1, :].astype(jnp.float32)
+        v = term if v is None else v + term
+    return cos_fn(v), sin_fn(v)
+
+
 def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
-                  compute_dtype, compact_out=False, approx_sin=False):
-    """refs = [w0, b0, (a0?), w1, b1, (a1?), ..., out_ref].
+                  compute_dtype, compact_out=False, approx_sin=False,
+                  rff_features=0):
+    """refs = [(bt?), w0, b0, (a0?), w1, b1, (a1?), ..., out_ref].
 
     ``compact_out``: the model output is scalar (out_features == 1), so
     instead of writing the lane-padded (rows, 128) activation — 128x the
     useful HBM bytes — write the scalar column reshaped to
     (rows // 128, 128); the host reshapes back to (n,).  This turns decode
     from write-bandwidth-bound into compute-bound.
+
+    ``rff_features`` > 0: refs[0] is the fixed 2*pi-scaled RFF projection
+    B^T (in_pad, F); layer 0 consumes the in-VMEM (cos, sin) features with
+    its (2F, h) weight split into cos/sin row halves — two MXU matmuls.
     """
     out_ref = refs[-1]
     refs = refs[:-1]
     sin_fn = _fast_sin if approx_sin else jnp.sin
     cos_fn = _fast_cos if approx_sin else jnp.cos
+    bt_ref = None
+    if rff_features:
+        bt_ref, refs = refs[0], refs[1:]
 
     x = coords_ref[:].astype(jnp.float32)  # (rows, in_pad)
     ri = 0
@@ -166,7 +190,14 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
         w = refs[ri][:]
         b = refs[ri + 1][:]          # (1, out_f)
         ri += 2
-        if li == 0:
+        if li == 0 and rff_features:
+            cv, sv = _rff_features_in_kernel(x, bt_ref[:], in_features,
+                                             sin_fn, cos_fn)
+            dims = (((1,), (0,)), ((), ()))
+            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype)
+                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype)
+                   + b.astype(jnp.float32))
+        elif li == 0:
             # tiny-in first layer: exact f32 VPU multiply-adds
             pre = b.astype(jnp.float32)
             for d in range(in_features):
@@ -196,7 +227,8 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                                              "interpret", "approx_sin"))
 def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                      block_rows: int, compute_dtype_name: str,
-                     interpret: bool, approx_sin: bool = False):
+                     interpret: bool, approx_sin: bool = False,
+                     bt=None):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -219,6 +251,12 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
     in_specs = [pl.BlockSpec((block_rows, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     operands = []
+    rff_features = 0
+    if bt is not None:
+        rff_features = bt.shape[1]
+        in_specs.append(pl.BlockSpec(bt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bt)
     for p in flat_params:
         in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -226,7 +264,8 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
 
     kernel = functools.partial(_stack_kernel, kinds=kinds, omegas=omegas,
                                in_features=d, compute_dtype=compute_dtype,
-                               compact_out=compact, approx_sin=approx_sin)
+                               compact_out=compact, approx_sin=approx_sin,
+                               rff_features=rff_features)
     if compact:
         # scalar output packed (n_pad // 128, 128): exactly n_pad floats of
         # HBM write instead of a 128-lane-padded (n_pad, 128) activation
@@ -254,14 +293,17 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
 
 
 def _flatten_params(params: Params, cfg: SirenSnakeTanhConfig,
-                    out_lane_pad: int = 128) -> list[jax.Array]:
+                    out_lane_pad: int = 128,
+                    rff: bool = False) -> list[jax.Array]:
     """Layer dicts -> flat [w, b(1,f), (a(1,f))?...] list with the final
-    layer's output lane padded to ``out_lane_pad``."""
+    layer's output lane padded to ``out_lane_pad``.  With ``rff`` the first
+    layer's (2F, h) weight is left whole (the kernel splits its cos/sin row
+    halves); otherwise it is padded to the small-input width."""
     flat: list[jax.Array] = []
     kinds = cfg.layer_kinds
     for li, (kind, p) in enumerate(zip(kinds, params["layers"])):
         w, b = p["w"], p["b"]
-        if li == 0:
+        if li == 0 and not rff:
             w_p = jnp.zeros((_MAX_SMALL_IN, w.shape[1]), w.dtype)
             w_p = w_p.at[: w.shape[0]].set(w)
             w = w_p
@@ -275,23 +317,46 @@ def _flatten_params(params: Params, cfg: SirenSnakeTanhConfig,
     return flat
 
 
+def _prep_rff_bt(rff_b: jax.Array) -> jax.Array:
+    """(F, d) Gaussian projection -> 2*pi-scaled B^T padded to the kernel's
+    small-input width: (in_pad, F).  Folding 2*pi here keeps the in-kernel
+    encoding a bare multiply-add chain."""
+    f, d = rff_b.shape
+    if d > _MAX_SMALL_IN:
+        raise ValueError(f"RFF raw-input dim must be <= {_MAX_SMALL_IN}")
+    bt = jnp.zeros((_MAX_SMALL_IN, f), dtype=jnp.float32)
+    return bt.at[:d].set(2.0 * jnp.pi * rff_b.T.astype(jnp.float32))
+
+
 def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                       coords: jax.Array, block_rows: int = 1024,
                       compute_dtype=jnp.float32,
                       interpret: bool = False,
-                      approx_sin: bool = False) -> jax.Array:
+                      approx_sin: bool = False,
+                      rff_b: jax.Array | None = None) -> jax.Array:
     """Fused full-stack forward: drop-in for siren_snake_tanh_apply.
 
     ``approx_sin=True`` swaps jnp.sin/cos for the Cody-Waite + degree-11
     polynomial pair (error ~1e-6 abs): decode is transcendental-bound, so
     this trades ~-120 dB of activation noise for a large throughput gain.
+
+    ``rff_b`` (F, d): fold the Gaussian Fourier encoding into the kernel —
+    ``coords`` are then the RAW coordinates and ``cfg.in_features`` must be
+    2F (drop-in for ``model.apply(params, rff_apply(rff_b, coords))``).
     """
-    if cfg.in_features > _MAX_SMALL_IN:
+    if rff_b is None and cfg.in_features > _MAX_SMALL_IN:
         raise ValueError(
             f"fused kernel supports in_features <= {_MAX_SMALL_IN} "
-            f"(raw coordinates); encoded inputs (RFF) use the XLA path")
+            "(raw coordinates) — pass rff_b to fold an RFF encoding in")
+    bt = None
+    if rff_b is not None:
+        if cfg.in_features != 2 * rff_b.shape[0]:
+            raise ValueError(
+                f"cfg.in_features ({cfg.in_features}) != 2*F "
+                f"({2 * rff_b.shape[0]})")
+        bt = _prep_rff_bt(rff_b)
     block_rows = _pick_block_rows(coords.shape[0], block_rows)
-    flat = _flatten_params(params, cfg)
+    flat = _flatten_params(params, cfg, rff=rff_b is not None)
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret,
-                            approx_sin)
+                            approx_sin, bt=bt)

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.siren import SirenSnakeTanhConfig
 from .pallas_siren import (_MAX_SMALL_IN, _fast_cos, _fast_sin,
                            _flatten_params, _fused_apply_jit, _kernel_dot,
-                           _pick_block_rows, _round_up)
+                           _pick_block_rows, _prep_rff_bt,
+                           _rff_features_in_kernel, _round_up)
 
 Params = dict[str, Any]
 
@@ -41,8 +42,12 @@ def _layer_param_slots(kinds):
 
 
 def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
-              approx_sin=False):
-    """Recompute forward, returning per-layer (input, pre) pairs."""
+              approx_sin=False, rff_features=0, bt_ref=None):
+    """Recompute forward, returning per-layer (input, pre) pairs.
+
+    With ``rff_features``, layer 0's saved input is the (cos_v, sin_v)
+    feature pair (the encoding is recomputed in VMEM, never stored in HBM).
+    """
     sin_fn = _fast_sin if approx_sin else jnp.sin
     cos_fn = _fast_cos if approx_sin else jnp.cos
     saved = []
@@ -51,7 +56,15 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
         w = refs[ri][:]
         b = refs[ri + 1][:]
         ri += 2
-        if li == 0:
+        if li == 0 and rff_features:
+            cv, sv = _rff_features_in_kernel(x, bt_ref[:], in_features,
+                                             sin_fn, cos_fn)
+            dims = (((1,), (0,)), ((), ()))
+            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype)
+                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype)
+                   + b.astype(jnp.float32))
+            x = (cv, sv)
+        elif li == 0:
             pre = b.astype(jnp.float32)
             for d in range(in_features):
                 pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
@@ -75,7 +88,8 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
 
 
 def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
-                compute_dtype, num_param_refs, approx_sin=False):
+                compute_dtype, num_param_refs, approx_sin=False,
+                rff_features=0):
     """Backward per tile: recompute forward, backprop, accumulate grads.
 
     refs = param refs (inputs) followed by grad output refs (same order).
@@ -88,6 +102,9 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
     the padded read is fully overlapped and a compact repack (a
     lane-to-sublane relayout Mosaic has no cheap op for) buys nothing.
     """
+    bt_ref = None
+    if rff_features:
+        bt_ref, refs = refs[0], refs[1:]
     param_refs = refs[:num_param_refs]
     grad_refs = refs[num_param_refs:]
 
@@ -102,7 +119,8 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
     cos_fn = _fast_cos if approx_sin else jnp.cos
     x0 = coords_ref[:].astype(jnp.float32)
     _, saved = _fwd_pres(x0, param_refs, kinds, omegas, in_features,
-                         compute_dtype, approx_sin)
+                         compute_dtype, approx_sin,
+                         rff_features=rff_features, bt_ref=bt_ref)
 
     g = g_ref[:].astype(jnp.float32)  # (rows, out_pad)
     ri = num_param_refs
@@ -132,8 +150,14 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
         else:  # linear_last
             gpre = g
         # dW = x_in^T gpre ; db = sum gpre
-        gw_ref[...] += _kernel_dot(x_in, gpre, (((0,), (0,)), ((), ())),
-                                   compute_dtype)
+        dims_t = (((0,), (0,)), ((), ()))
+        if li == 0 and rff_features:
+            cv, sv = x_in  # recomputed in-VMEM encoding (B is fixed: no dB)
+            gw_ref[...] += jnp.concatenate(
+                [_kernel_dot(cv, gpre, dims_t, compute_dtype),
+                 _kernel_dot(sv, gpre, dims_t, compute_dtype)], axis=0)
+        else:
+            gw_ref[...] += _kernel_dot(x_in, gpre, dims_t, compute_dtype)
         gb_ref[...] += jnp.sum(gpre, axis=0, keepdims=True)
         if li > 0:
             g = _kernel_dot(gpre, w_ref[:], (((1,), (1,)), ((), ())),
@@ -153,7 +177,7 @@ def _pad_inputs(coords, block_rows):
                                              "compute_dtype_name",
                                              "interpret", "approx_sin"))
 def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
-              interpret, approx_sin=False):
+              interpret, approx_sin=False, bt=None):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -172,6 +196,13 @@ def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
         pl.BlockSpec((block_rows, out_f), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
+    operands = []
+    rff_features = 0
+    if bt is not None:
+        rff_features = bt.shape[1]
+        in_specs.append(pl.BlockSpec(bt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bt)
     out_shapes, out_specs = [], []
     for p in flat_params:
         in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
@@ -183,7 +214,8 @@ def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
     kernel = functools.partial(_bwd_kernel, kinds=kinds, omegas=omegas,
                                in_features=d, compute_dtype=compute_dtype,
                                num_param_refs=len(flat_params),
-                               approx_sin=approx_sin)
+                               approx_sin=approx_sin,
+                               rff_features=rff_features)
     grads = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -191,49 +223,57 @@ def _backward(flat_params, coords, g, cfg, block_rows, compute_dtype_name,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(coords_p, g_p, *flat_params)
+    )(coords_p, g_p, *operands, *flat_params)
     return list(grads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _fused_stack(flat_params, coords, cfg, block_rows, compute_dtype_name,
-                 interpret, approx_sin):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_stack(flat_params, coords, bt, cfg, block_rows,
+                 compute_dtype_name, interpret, approx_sin):
     # forward is the INFERENCE kernel builder, shared with fused_siren_apply
     # (one copy of the padding/compact-layout/pallas_call construction)
     return _fused_apply_jit(flat_params, coords, cfg, block_rows,
-                            compute_dtype_name, interpret, approx_sin)
+                            compute_dtype_name, interpret, approx_sin,
+                            bt=bt)
 
 
-def _fused_stack_fwd(flat_params, coords, cfg, block_rows,
+def _fused_stack_fwd(flat_params, coords, bt, cfg, block_rows,
                      compute_dtype_name, interpret, approx_sin):
     out = _fused_apply_jit(flat_params, coords, cfg, block_rows,
-                           compute_dtype_name, interpret, approx_sin)
-    return out, (flat_params, coords)
+                           compute_dtype_name, interpret, approx_sin, bt=bt)
+    return out, (flat_params, coords, bt)
 
 
-def _bwd_block_rows(cfg: SirenSnakeTanhConfig, block_rows: int) -> int:
+def _bwd_block_rows(cfg: SirenSnakeTanhConfig, block_rows: int,
+                    rff_features: int = 0) -> int:
     """VMEM-aware backward tile size.
 
     The backward keeps the recomputed per-layer (input, pre-activation)
-    pairs live across the reverse sweep — 2*L*(block, h) f32 — inside the
-    ~16 MB scoped VMEM budget (plus params, grads, cotangent blocks and
-    pipelining buffers).  Cap the live set at ~4 MB (measured: 6 MB still
-    overflows at h=160 under vmap) and keep the tile a multiple of 128.
+    pairs live across the reverse sweep — 2*L*(block, h) f32, plus the
+    (cos, sin) RFF feature pair (2*F) when the encoding is folded in —
+    inside the ~16 MB scoped VMEM budget (plus params, grads, cotangent
+    blocks and pipelining buffers).  Cap the live set at ~4 MB (measured:
+    6 MB still overflows at h=160 under vmap) and keep the tile a multiple
+    of 128.
     """
     n_layers = len(cfg.layer_kinds)
     budget = 4 * 1024 * 1024
-    cap = budget // (2 * n_layers * cfg.hidden_features * 4)
+    floats_per_row = 2 * n_layers * cfg.hidden_features + 2 * rff_features
+    cap = budget // (floats_per_row * 4)
     cap = max(128, (cap // 128) * 128)
     return min(block_rows, cap)
 
 
 def _fused_stack_bwd(cfg, block_rows, compute_dtype_name, interpret,
                      approx_sin, residuals, g):
-    flat_params, coords = residuals
+    flat_params, coords, bt = residuals
+    rff_features = 0 if bt is None else bt.shape[1]
     grads = _backward(flat_params, coords, g, cfg,
-                      _bwd_block_rows(cfg, block_rows),
-                      compute_dtype_name, interpret, approx_sin)
-    return list(grads), None  # flat-params grads (list pytree), no dcoords
+                      _bwd_block_rows(cfg, block_rows, rff_features),
+                      compute_dtype_name, interpret, approx_sin, bt=bt)
+    # flat-params grads (list pytree); no dcoords; B is a fixed projection
+    bt_grad = None if bt is None else jnp.zeros_like(bt)
+    return list(grads), None, bt_grad
 
 
 _fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)
@@ -265,19 +305,26 @@ def fused_siren_train_apply(params: Params, cfg: SirenSnakeTanhConfig,
                             coords: jax.Array, block_rows: int = 1024,
                             compute_dtype=jnp.float32,
                             interpret: bool = False,
-                            approx_sin: bool = False) -> jax.Array:
+                            approx_sin: bool = False,
+                            rff_b: jax.Array | None = None) -> jax.Array:
     """Differentiable fused forward — drop-in for
     ``siren_snake_tanh_apply`` inside jax.grad/value_and_grad.
 
     The VJP maps cotangents onto the flat parameter list; use
     ``grads_to_pytree`` only if calling the flat API directly — under
     jax.grad of a loss over ``params`` the pytree plumbing is automatic.
+
+    ``rff_b`` (F, d) folds the Gaussian Fourier encoding into both kernels
+    (coords are then raw; cfg.in_features == 2F); B is fixed, so its
+    cotangent is zero — matching ``rff_apply``'s stop_gradient semantics.
     """
-    if cfg.in_features > _MAX_SMALL_IN:
+    if rff_b is None and cfg.in_features > _MAX_SMALL_IN:
         raise ValueError("fused train kernel supports raw coordinates only "
-                         f"(in_features <= {_MAX_SMALL_IN})")
+                         f"(in_features <= {_MAX_SMALL_IN}) — pass rff_b to "
+                         "fold an RFF encoding in")
+    bt = None if rff_b is None else _prep_rff_bt(rff_b)
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     block_rows = _pick_block_rows(coords.shape[0], block_rows)
-    flat = _flatten_params(params, cfg)
-    return _fused_stack(flat, coords, cfg, block_rows, name, interpret,
+    flat = _flatten_params(params, cfg, rff=rff_b is not None)
+    return _fused_stack(flat, coords, bt, cfg, block_rows, name, interpret,
                         approx_sin)

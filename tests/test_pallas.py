@@ -68,6 +68,44 @@ def test_fused_rejects_wide_inputs():
         fused_siren_apply(params, cfg, jnp.zeros((4, 256)), interpret=True)
 
 
+@pytest.mark.parametrize("num_freq,d", [(64, 1), (128, 1), (64, 2)])
+def test_fused_rff_matches_xla_encoding(num_freq, d):
+    """The in-kernel RFF fold is a drop-in for rff_apply + the XLA model:
+    same features (cos-first layout), same output."""
+    from inraudio_tpu.models import rff_apply, rff_init
+    cfg = SirenSnakeTanhConfig(in_features=2 * num_freq, first_omega_0=30.0,
+                               hidden_features=128, num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    rff_b = rff_init(jax.random.PRNGKey(7), d, num_freq, sigma=10.0)
+    coords = jax.random.uniform(KEY, (777, d), jnp.float32, -1.0, 1.0)
+    ref = model.apply(params, rff_apply(rff_b, coords))
+    out = fused_siren_apply(params, cfg, coords, block_rows=256,
+                            interpret=True, rff_b=rff_b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_rff_via_build_model():
+    """build_model(rff_b=...) owns the encoding on both paths."""
+    from inraudio_tpu.models import rff_apply, rff_init
+    num_freq = 64
+    cfg = SirenSnakeTanhConfig(in_features=2 * num_freq, first_omega_0=30.0,
+                               hidden_features=64, num_sine=1, num_snake=0)
+    rff_b = rff_init(jax.random.PRNGKey(9), 1, num_freq)
+    coords = jnp.linspace(-1, 1, 300).reshape(-1, 1)
+    m_xla = build_model("mlp", cfg, rff_b=rff_b)
+    m_fused = build_model("mlp", cfg, fused=True, interpret=True,
+                          rff_b=rff_b)
+    params = m_xla.init(KEY)
+    plain = build_model("mlp", cfg)
+    ref = plain.apply(params, rff_apply(rff_b, coords))
+    np.testing.assert_allclose(np.asarray(m_xla.apply(params, coords)),
+                               np.asarray(ref), atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_fused.apply(params, coords)),
+                               np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_fast_sin_cos_accuracy():
     """Cody-Waite + degree-11 polynomial: |err| ~1e-6 abs across the
     framework's argument range, including first-layer omega0*coord ~ 2e4

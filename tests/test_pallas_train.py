@@ -52,6 +52,40 @@ def test_gradients_match_reference(cfg):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
 
 
+def test_rff_gradients_match_reference():
+    """Folded-RFF fused backward vs jax.grad of rff_apply + reference
+    model: same loss, same parameter gradients, zero grad leakage to B."""
+    from inraudio_tpu.models import rff_apply, rff_init
+    num_freq = 64
+    cfg = SirenSnakeTanhConfig(in_features=2 * num_freq, first_omega_0=30.0,
+                               hidden_features=128, num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    rff_b = rff_init(jax.random.PRNGKey(2), 1, num_freq, sigma=10.0)
+    coords = jax.random.uniform(KEY, (300, 1), jnp.float32, -1.0, 1.0)
+    targets = jax.random.uniform(jax.random.PRNGKey(5), (300, 1), jnp.float32,
+                                 -1.0, 1.0)
+
+    def loss_ref(p):
+        return jnp.mean((model.apply(p, rff_apply(rff_b, coords))
+                         - targets) ** 2)
+
+    def loss_fused(p):
+        out = fused_siren_train_apply(p, cfg, coords, block_rows=128,
+                                      interpret=True, rff_b=rff_b)
+        return jnp.mean((out - targets) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_f, g_f = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
+
+
 def test_one_training_step_equivalence():
     """A full Adam step with the fused apply matches the reference apply."""
     from inraudio_tpu.train import AdamConfig, adam_init, adam_update
