@@ -93,6 +93,15 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
             apply=lambda p, c: siren_apply(p, cfg, c))
     if arch == "kan":
         cfg = config or KANConfig(**overrides)
+        if fused:
+            # fused Pallas forward; backward delegates to the XLA autodiff
+            # of kan_apply (ops/pallas_kan.py)
+            from ..ops.pallas_kan import fused_kan_apply
+            return INRModel(
+                name="kan_fused", config=cfg,
+                init=lambda key: kan_init(key, cfg),
+                apply=lambda p, c: fused_kan_apply(p, cfg, c,
+                                                   interpret=interpret))
         return INRModel(
             name="kan", config=cfg,
             init=lambda key: kan_init(key, cfg),
