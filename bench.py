@@ -296,13 +296,25 @@ def bench_full() -> float:
         learning_rate=float(os.environ.get("BENCH_LR", "1e-3")),
         scan_chunk=ROUND_STEPS,
         grad_clip_norm=float(os.environ.get("BENCH_CLIP", "0.0")))
+    # BENCH_NUM_FREQ > 0: Gaussian RFF encoding owned by the model (folded
+    # into the fused kernel) — the reference's num_freq family, run.py:141-144
+    num_freq = int(os.environ.get("BENCH_NUM_FREQ", "0"))
+    rff_b = None
+    in_features = 1
+    if num_freq:
+        from inraudio_tpu.models import rff_init
+        rff_b = rff_init(jax.random.PRNGKey(7), 1, num_freq,
+                         sigma=float(os.environ.get("BENCH_SIGMA", "10")))
+        in_features = 2 * num_freq
     model_cfg = SirenSnakeTanhConfig(
+        in_features=in_features,
         first_omega_0=float(os.environ.get("BENCH_OMEGA", "22000")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "256")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
-    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
+    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused,
+                        rff_b=rff_b)
 
     mesh = make_mesh()
     coords_d, targets_d, weight_d, _ = shard_problem_arrays(
