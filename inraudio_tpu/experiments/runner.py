@@ -94,8 +94,10 @@ def build_arch(arch: str, in_features: int, hidden: int, num_sine: int,
             a_initial=a_initial), fused=fused, approx_sin=fused,
             rff_b=rff_b)
     if arch == "kan":
+        # fused=True: Pallas forward AND backward (ops/pallas_kan.py) —
+        # measured 7.1x the XLA training step at full batch (BASELINE.md)
         return build_model("kan", KANConfig(
-            layers_hidden=(in_features, hidden, hidden, 1)))
+            layers_hidden=(in_features, hidden, hidden, 1)), fused=fused)
     raise ValueError(f"unknown arch {arch!r}")
 
 

@@ -87,3 +87,51 @@ def test_fused_kan_via_build_model_trains():
     res = fit(model, coords, targets,
               TrainConfig(total_steps=200, scan_chunk=50, learning_rate=1e-2))
     assert res.loss_history[-1] < 0.5 * res.loss_history[0]
+
+
+def test_fused_kan_gradients_vector_io():
+    """Pallas backward with 2-D coords, vector output, and a non-default
+    spline order (exercises the derivative recursion at k=2)."""
+    cfg = KANConfig(layers_hidden=(2, 32, 3), grid_size=6, spline_order=2)
+    model = build_model("kan", cfg)
+    params = model.init(KEY)
+    coords = jax.random.uniform(KEY, (300, 2), jnp.float32, -0.9, 0.9)
+    targets = jnp.sin(3.0 * coords[:, :1]) * jnp.ones((1, 3))
+
+    def loss_ref(p):
+        return jnp.mean((kan_apply(p, cfg, coords) - targets) ** 2)
+
+    def loss_fused(p):
+        out = fused_kan_apply(p, cfg, coords, block_rows=128, interpret=True)
+        return jnp.mean((out - targets) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_f = jax.grad(loss_fused)(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
+
+
+def test_fused_kan_backward_vmem_gate():
+    """Stacks whose params + grad accumulators exceed the VMEM budget must
+    route through the XLA-autodiff fallback (and stay differentiable)."""
+    from inraudio_tpu.ops.pallas_kan import (_BWD_RESIDENT_BUDGET,
+                                             _bwd_resident_bytes)
+    assert _bwd_resident_bytes(
+        KANConfig(layers_hidden=(1, 256, 256, 1))) <= _BWD_RESIDENT_BUDGET
+    big = KANConfig(layers_hidden=(1, 512, 512, 1))
+    assert _bwd_resident_bytes(big) > _BWD_RESIDENT_BUDGET
+    # the fallback path still produces gradients
+    params = build_model("kan", big).init(KEY)
+    coords = jnp.linspace(-0.9, 0.9, 64).reshape(-1, 1)
+
+    def loss(p):
+        out = fused_kan_apply(p, big, coords, block_rows=128, interpret=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree_util.tree_leaves(g))
