@@ -126,14 +126,28 @@ def log_mfu(tag: str, samples_per_sec: float, fwd_flops: int,
         f"{fwd_flops / 1e3:.1f} kFLOP/sample fwd)")
 
 
-def measure_decode(decode_fn, args, samples_per_call: int, reps: int = 20):
+def _fetch_anchor(out):
+    """Force completion via a real device->host fetch: on the tunneled axon
+    backend block_until_ready can return before remote execution finishes
+    (same caveat as train/loop.py), so timings must be anchored by bytes
+    actually arriving on the host."""
+    np.asarray(out.reshape(-1)[-1:])
+
+
+def measure_decode(decode_fn, args, samples_per_call: int, reps: int = 20,
+                   trials: int = 3):
+    """Best-of-``trials`` steady-state throughput over ``reps`` back-to-back
+    dispatches (max over trials rejects scheduler noise, not work)."""
     out = decode_fn(*args)
-    jax.block_until_ready(out)
-    t = time.time()
-    for _ in range(reps):
-        out = decode_fn(*args)
-    jax.block_until_ready(out)
-    return samples_per_call * reps / (time.time() - t) / 1e6
+    _fetch_anchor(out)
+    best = 0.0
+    for _ in range(trials):
+        t = time.time()
+        for _ in range(reps):
+            out = decode_fn(*args)
+        _fetch_anchor(out)
+        best = max(best, samples_per_call * reps / (time.time() - t) / 1e6)
+    return best
 
 
 def bench_multi() -> float:
@@ -142,11 +156,16 @@ def bench_multi() -> float:
     signal = signal.astype(np.float32)
     log(f"fit target: {len(signal)} samples @ {fs} Hz, multi-INR")
 
+    # chunk_seconds picked so the chunk length is EXACTLY 2048 rows at
+    # 44.1 kHz: the fused kernels tile rows in 1024-row blocks, so a
+    # 0.05 s chunk (2205 rows) pads to 3072 — 39% wasted compute.  The
+    # tile-aligned default measures +1.5 dB SNR and +20% decode throughput
+    # over 0.05 s at the same budget (BASELINE.md).
     mc = MultiINRConfig(
-        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.05")),
+        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.04644")),
         overlap_fraction=float(os.environ.get("BENCH_OVERLAP", "0.1")))
     model_cfg = SirenSnakeTanhConfig(
-        first_omega_0=float(os.environ.get("BENCH_OMEGA", "500")),
+        first_omega_0=float(os.environ.get("BENCH_OMEGA", "460")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "128")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))

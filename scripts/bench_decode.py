@@ -1,0 +1,72 @@
+"""Honest decode-throughput measurements (fetch-anchored timing).
+
+Re-measures the BASELINE.md decode rows with the device->host fetch anchor
+(bench.measure_decode): on the tunneled axon backend block_until_ready can
+return before remote execution completes, which inflated earlier decode
+numbers.  Usage: python scripts/bench_decode.py [case ...]
+cases: mlp128 mlp256 rff kan vmap (default: all)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+from bench import measure_decode  # noqa: E402
+from inraudio_tpu.models import (KANConfig, SirenSnakeTanhConfig,  # noqa: E402
+                                 build_model, rff_init)
+
+N = 1_000_000
+
+
+def run_case(name):
+    key = jax.random.PRNGKey(0)
+    coords = jnp.linspace(-1.0, 1.0, N).reshape(-1, 1)
+    if name == "mlp128":
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            hidden_features=128, first_omega_0=500.0), fused=True,
+            approx_sin=True)
+    elif name == "mlp256":
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            hidden_features=256, first_omega_0=500.0), fused=True,
+            approx_sin=True)
+    elif name == "rff":
+        b = rff_init(key, 1, 128, sigma=1500.0)
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            in_features=256, hidden_features=256), fused=True,
+            approx_sin=True, rff_b=b)
+    elif name == "kan":
+        model = build_model("kan", KANConfig(layers_hidden=(1, 128, 128, 1)),
+                            fused=True)
+    elif name == "vmap":
+        # the bench headline shape: 156 chunks x 2425 rows, h=128
+        k, rows = 156, 2425
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            hidden_features=128, first_omega_0=500.0), fused=True,
+            approx_sin=True)
+        params = jax.vmap(model.init)(jax.random.split(key, k))
+        c = jnp.broadcast_to(jnp.linspace(-1, 1, rows).reshape(1, -1, 1),
+                             (k, rows, 1))
+        fn = jax.jit(jax.vmap(lambda p, cc: model.apply(p, cc)))
+        msps = measure_decode(fn, (params, c), k * rows)
+        print(f"{name}: {msps:.1f} Msamples/s ({k}x{rows} rows)")
+        return
+    else:
+        raise SystemExit(f"unknown case {name}")
+    params = model.init(key)
+    fn = jax.jit(lambda p, c: model.apply(p, c))
+    msps = measure_decode(fn, (params, coords), N)
+    print(f"{name}: {msps:.1f} Msamples/s ({N} rows)")
+
+
+if __name__ == "__main__":
+    for case in (sys.argv[1:] or ["mlp128", "mlp256", "rff", "kan", "vmap"]):
+        run_case(case)
