@@ -66,7 +66,7 @@ def main(argv=None) -> int:
     enc.add_argument("--learning-rate", type=float, default=7e-4)
     enc.add_argument("--total-steps", type=int, default=3000)
     enc.add_argument("--quantize", default="float16",
-                     choices=["none", "float16", "bfloat16", "int8"])
+                     choices=["none", "float16", "bfloat16", "int8", "int4"])
     enc.add_argument("--fused", action="store_true",
                      help="Pallas fused kernel (TPU only)")
 

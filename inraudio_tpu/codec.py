@@ -7,7 +7,7 @@ pair, built on the framework's fastest path:
 
 - ``encode``: split the clip into windows (multi-INR, train/multi_inr.py),
   fit every window simultaneously in one vmapped jitted scan, snapshot each
-  window's best parameters, optionally quantize (float16 / bfloat16 / int8,
+  window's best parameters, optionally quantize (float16 / bfloat16 / int8 / int4,
   models/quantize.py), and pack everything into a single .npz payload.
 - ``decode``: rebuild the model from the stored config, dense-evaluate every
   window (one vmapped forward), de-quantize + de-normalise, and stitch with
@@ -54,7 +54,7 @@ class CodecConfig:
     learning_rate: float = 7e-4   # matches the 0.25 s recipe scans
     grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
-    quantize: str | None = "float16"   # None | float16 | bfloat16 | int8
+    quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int4
     fused: bool = False                # Pallas path (TPU only)
     seed: int = 0
 

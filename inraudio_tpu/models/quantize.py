@@ -10,6 +10,8 @@ capability with three codecs:
   at full fused-kernel speed with no dequantize pass.
 - ``int8``: symmetric per-tensor affine quantization (1 byte/param + one
   float32 scale per leaf), dequantized leaf-wise at load.
+- ``int4``: symmetric 15-level quantization packed two nibbles per byte
+  (0.5 bytes/param) — the codec's deepest rate-distortion point.
 
 ``quantize_params`` returns a params pytree of the SAME structure (leaves
 stored quantized), ``dequantize_params`` restores float32 for ``apply``;
@@ -22,22 +24,35 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Any
 
 
+def _peak_scale(l, per_leading_axis: bool, levels: float):
+    if per_leading_axis and l.ndim >= 2:
+        axes = tuple(range(1, l.ndim))
+        peak = jnp.max(jnp.abs(l), axis=axes, keepdims=True)
+    else:
+        peak = jnp.max(jnp.abs(l))
+    return jnp.maximum(peak, 1e-12) / levels
+
+
 def quantize_params(params: Params, mode: str = "float16",
                     per_leading_axis: bool = False) -> Params:
-    """Quantize every leaf. mode in {'float16', 'bfloat16', 'int8'}.
+    """Quantize every leaf. mode in {'float16','bfloat16','int8','int4'}.
 
     int8 leaves become dicts ``{'q': int8 array, 'scale': float32}``
     (symmetric, zero-point-free — INR weights are zero-centred by SIREN
     init, models.py:105-112, so an asymmetric zero point buys nothing).
+    int4 leaves become ``{'q4': packed uint8 nibbles, 'scale', 'shape'}``
+    (15 symmetric levels, two params per byte).
 
-    ``per_leading_axis=True`` gives each slice along axis 0 its own int8
-    scale — REQUIRED for chunk-stacked multi-INR parameters, where per-chunk
-    weight magnitudes differ enough that one tensor-wide scale destroys the
-    reconstruction (measured: -1 dB vs >20 dB on the same fit).
+    ``per_leading_axis=True`` gives each slice along axis 0 its own
+    int8/int4 scale — REQUIRED for chunk-stacked multi-INR parameters,
+    where per-chunk weight magnitudes differ enough that one tensor-wide
+    scale destroys the reconstruction (measured: -1 dB vs >20 dB on the
+    same fit).
     """
     if mode in ("float16", "bfloat16"):
         dt = jnp.float16 if mode == "float16" else jnp.bfloat16
@@ -45,27 +60,48 @@ def quantize_params(params: Params, mode: str = "float16",
     if mode == "int8":
         def q(l):
             l = jnp.asarray(l, jnp.float32)
-            if per_leading_axis and l.ndim >= 2:
-                axes = tuple(range(1, l.ndim))
-                peak = jnp.max(jnp.abs(l), axis=axes, keepdims=True)
-            else:
-                peak = jnp.max(jnp.abs(l))
-            scale = jnp.maximum(peak, 1e-12) / 127.0
+            scale = _peak_scale(l, per_leading_axis, 127.0)
             return {"q": jnp.clip(jnp.round(l / scale), -127, 127)
                     .astype(jnp.int8),
                     "scale": jnp.asarray(scale, jnp.float32)}
         return jax.tree.map(q, params)
+    if mode == "int4":
+        def q4(l):
+            l = jnp.asarray(l, jnp.float32)
+            scale = _peak_scale(l, per_leading_axis, 7.0)
+            qv = jnp.clip(jnp.round(l / scale), -7.0, 7.0) + 8.0
+            flat = qv.astype(jnp.uint8).reshape(-1)
+            if flat.shape[0] % 2:
+                # pad nibble encodes 0 (offset 8)
+                flat = jnp.concatenate(
+                    [flat, jnp.full((1,), 8, jnp.uint8)])
+            packed = ((flat[0::2] << 4) | flat[1::2]).astype(jnp.uint8)
+            return {"q4": packed,
+                    "scale": jnp.asarray(scale, jnp.float32),
+                    "shape": np.asarray(l.shape, np.int32)}
+        return jax.tree.map(q4, params)
     raise ValueError(f"unknown quantization mode {mode!r}")
+
+
+def _is_quantized_leaf(x):
+    return isinstance(x, dict) and set(x) in ({"q", "scale"},
+                                              {"q4", "scale", "shape"})
 
 
 def dequantize_params(qparams: Params) -> Params:
     """Inverse of ``quantize_params`` -> float32 leaves for ``apply``."""
-    def is_q(x):
-        return isinstance(x, dict) and set(x) == {"q", "scale"}
-
     def dq(x):
-        if is_q(x):
+        if _is_quantized_leaf(x) and "q4" in x:
+            shape = tuple(int(s) for s in np.asarray(x["shape"]))
+            n = int(np.prod(shape))
+            packed = jnp.asarray(x["q4"], jnp.uint8)
+            hi = (packed >> 4).astype(jnp.int32)
+            lo = (packed & 0xF).astype(jnp.int32)
+            flat = jnp.stack([hi, lo], axis=1).reshape(-1)[:n]
+            vals = (flat - 8).astype(jnp.float32).reshape(shape)
+            return vals * jnp.asarray(x["scale"], jnp.float32)
+        if _is_quantized_leaf(x):
             return jnp.asarray(x["q"], jnp.float32) * x["scale"]
         return jnp.asarray(x, jnp.float32)
 
-    return jax.tree.map(dq, qparams, is_leaf=is_q)
+    return jax.tree.map(dq, qparams, is_leaf=_is_quantized_leaf)

@@ -320,3 +320,36 @@ class TestQuantization:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(d)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=float(np.max(np.abs(a)) / 100))
+
+
+def test_int4_pack_roundtrip():
+    """int4: two nibbles per byte, error bounded by scale/2, odd counts."""
+    from inraudio_tpu.models import dequantize_params, quantize_params
+    key = jax.random.PRNGKey(5)
+    for shape in ((64, 64), (7, 3), (5,), (3, 4, 5)):
+        x = jax.random.normal(key, shape, jnp.float32)
+        q = quantize_params({"w": x}, "int4")
+        leaf = q["w"]
+        assert set(leaf) == {"q4", "scale", "shape"}
+        assert leaf["q4"].dtype == jnp.uint8
+        assert leaf["q4"].size == (x.size + 1) // 2
+        d = dequantize_params(q)["w"]
+        assert d.shape == x.shape
+        # symmetric 15-level: |err| <= scale/2 everywhere
+        scale = float(np.max(np.abs(np.asarray(x)))) / 7.0
+        np.testing.assert_allclose(np.asarray(d), np.asarray(x),
+                                   atol=scale / 2 + 1e-7)
+
+
+def test_int4_per_leading_axis_scales():
+    from inraudio_tpu.models import dequantize_params, quantize_params
+    key = jax.random.PRNGKey(6)
+    # two slices with wildly different magnitudes: per-axis scales keep
+    # the small slice's relative error bounded
+    x = jnp.concatenate([jax.random.normal(key, (1, 32)) * 100.0,
+                         jax.random.normal(key, (1, 32)) * 0.01], axis=0)
+    q = quantize_params({"w": x}, "int4", per_leading_axis=True)
+    d = dequantize_params(q)["w"]
+    small = np.asarray(x[1])
+    err = np.max(np.abs(np.asarray(d[1]) - small))
+    assert err <= np.max(np.abs(small)) / 7.0 / 2 + 1e-9
