@@ -156,16 +156,19 @@ def bench_multi() -> float:
     signal = signal.astype(np.float32)
     log(f"fit target: {len(signal)} samples @ {fs} Hz, multi-INR")
 
-    # chunk_seconds picked so the chunk length is EXACTLY 2048 rows at
-    # 44.1 kHz: the fused kernels tile rows in 1024-row blocks, so a
-    # 0.05 s chunk (2205 rows) pads to 3072 — 39% wasted compute.  The
-    # tile-aligned default measures +1.5 dB SNR and +20% decode throughput
-    # over 0.05 s at the same budget (BASELINE.md).
+    # chunk_seconds picked so the chunk length is EXACTLY 1024 rows at
+    # 44.1 kHz — one fused-kernel tile, zero row-padding waste (a 0.05 s
+    # chunk = 2205 rows pads to 3072: 39% wasted compute).  Shorter chunks
+    # are also easier fitting problems (more chunks = more total capacity,
+    # omega scales down with the window), worth several dB: 0.05 s -> 108.9,
+    # 2048 rows -> 110.5, 1024 rows -> 114.0 dB at the same budget; 512-row
+    # chunks reach 114.5 but halve decode throughput (they pad back to one
+    # 1024-row tile).  BASELINE.md has the scan.
     mc = MultiINRConfig(
-        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.04644")),
+        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.02322")),
         overlap_fraction=float(os.environ.get("BENCH_OVERLAP", "0.1")))
     model_cfg = SirenSnakeTanhConfig(
-        first_omega_0=float(os.environ.get("BENCH_OMEGA", "460")),
+        first_omega_0=float(os.environ.get("BENCH_OMEGA", "230")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "128")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))

@@ -69,6 +69,9 @@ def main(argv=None) -> int:
                      choices=["none", "float16", "bfloat16", "int8", "int4"])
     enc.add_argument("--fused", action="store_true",
                      help="Pallas fused kernel (TPU only)")
+    enc.add_argument("--refit-steps", type=int, default=0,
+                     help="quantization-aware refit: fine-tune the float32 "
+                          "leaves around the frozen quantized weights")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
@@ -116,7 +119,7 @@ def main(argv=None) -> int:
             hidden_features=args.hidden, first_omega_0=args.omega,
             learning_rate=args.learning_rate, total_steps=args.total_steps,
             quantize=None if args.quantize == "none" else args.quantize,
-            fused=args.fused))
+            fused=args.fused, refit_steps=args.refit_steps))
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
         stats = compression_stats(payload, path)

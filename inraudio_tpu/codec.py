@@ -32,8 +32,9 @@ from .data.coords import get_coord
 from .models import (SirenSnakeTanhConfig, build_model,
                      dequantize_params, param_bytes, quantize_params)
 from .train.loop import TrainConfig
-from .train.multi_inr import (MultiINRConfig, multi_inr_fit,
+from .train.multi_inr import (MultiINRConfig, chunk_signal, multi_inr_fit,
                               stitch_chunks)
+from .train.optim import AdamConfig, adam_init, adam_update
 
 # v2: quantization is sensitivity-aware (layer-0 weights/biases stay
 # float32) — v1 payloads (uniform leaf quantization) are NOT readable
@@ -57,6 +58,13 @@ class CodecConfig:
     quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int4
     fused: bool = False                # Pallas path (TPU only)
     seed: int = 0
+    # Quantization-aware refit: after quantizing the hidden/last weight
+    # matrices, fine-tune the REMAINING float32 leaves (layer-0 weights,
+    # every bias, snake a) against the chunks with the quantized weights
+    # frozen at their dequantized values — the float32 leaves absorb part
+    # of the quantization error.  0 = off.
+    refit_steps: int = 0
+    refit_lr: float = 1e-4
 
 
 def quantize_inr_params(params: Any, mode: str) -> Any:
@@ -82,6 +90,72 @@ def quantize_inr_params(params: Any, mode: str) -> Any:
 def dequantize_inr_params(params: Any) -> Any:
     """Inverse of ``quantize_inr_params`` -> float32 leaves."""
     return dequantize_params(params)
+
+
+def quantization_aware_refit(model, params: Any, mode: str,
+                             targets: np.ndarray, coords: np.ndarray,
+                             steps: int, lr: float = 1e-4) -> Any:
+    """Refit the float32 leaves around frozen quantized weights.
+
+    ``params`` is the stacked (k, ...) float32 best-params pytree;
+    ``targets`` the (k, n, 1) normalised chunk targets it was fit to.  The
+    hidden/last weight matrices are quantized (``mode``) and FROZEN at the
+    values the decoder will reconstruct; the remaining float32 leaves
+    (layer-0 weights, biases, snake a — the ~1% byte share that ships
+    unquantized) are fine-tuned so they absorb part of the quantization
+    error.  Returns the stored-form pytree (quantized weight dicts +
+    refitted float32 leaves), same structure ``load_inr`` expects.
+    """
+    q = quantize_inr_params(params, mode)
+    dq = dequantize_inr_params(q)
+    n_layers = len(dq["layers"])
+    frozen_ws = [jnp.asarray(dq["layers"][li]["w"])
+                 for li in range(1, n_layers)]
+    trainable = {"layers": [
+        {k: jnp.asarray(v) for k, v in layer.items()
+         if not (li > 0 and k == "w")}
+        for li, layer in enumerate(dq["layers"])]}
+
+    def merge(tr):
+        layers = []
+        for li, layer in enumerate(tr["layers"]):
+            full = dict(layer)
+            if li > 0:
+                full["w"] = frozen_ws[li - 1]
+            layers.append(full)
+        return {"layers": layers}
+
+    adam_cfg = AdamConfig(lr=lr)
+    opt = adam_init(trainable, adam_cfg)
+    targets_j = jnp.asarray(targets)
+    coords_j = jnp.asarray(coords)
+
+    @jax.jit
+    def run(tr, opt):
+        def step(carry, _):
+            tr, opt = carry
+
+            def loss_fn(tr):
+                full = merge(tr)
+                pred = jax.vmap(model.apply, in_axes=(0, None))(full,
+                                                                coords_j)
+                return jnp.mean((pred - targets_j) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(tr)
+            tr, opt = adam_update(opt, grads, tr, adam_cfg)
+            return (tr, opt), loss
+        (tr, opt), losses = jax.lax.scan(step, (tr, opt), None,
+                                         length=steps)
+        return tr, losses
+    trainable, _ = run(trainable, opt)
+
+    stored_layers = []
+    for li in range(n_layers):
+        new = {k: np.asarray(v) for k, v in trainable["layers"][li].items()}
+        if li > 0:
+            new["w"] = q["layers"][li]["w"]
+        stored_layers.append(new)
+    return {"layers": stored_layers}
 
 
 def encode(signal: np.ndarray, sample_rate: int,
@@ -110,8 +184,20 @@ def encode(signal: np.ndarray, sample_rate: int,
     # best params per chunk, real chunks only
     params = jax.tree.map(lambda x: np.asarray(x)[: res.num_chunks],
                           jax.device_get(res.states.best_params))
-    stored = quantize_inr_params(params, cfg.quantize) if cfg.quantize \
-        else params
+    if cfg.quantize and cfg.refit_steps > 0:
+        chunks, n, _hop = chunk_signal(
+            np.asarray(signal, np.float32), sample_rate,
+            MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
+                           overlap_fraction=cfg.overlap_fraction))
+        targets = (chunks[: res.num_chunks]
+                   / res.chunk_scales[: res.num_chunks, None])[..., None]
+        stored = quantization_aware_refit(
+            model, params, cfg.quantize, targets,
+            np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr)
+    elif cfg.quantize:
+        stored = quantize_inr_params(params, cfg.quantize)
+    else:
+        stored = params
 
     meta = {
         "format": _FORMAT,

@@ -83,3 +83,24 @@ def test_old_format_rejected_with_versioned_error():
     payload["meta"] = dict(payload["meta"], format="inraudio_tpu.inr.v1")
     with pytest.raises(ValueError, match="v1.*re-encoded|unsupported"):
         decode(payload)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quantization_aware_refit_improves_snr(mode):
+    """Refitting the float32 leaves around frozen quantized weights must
+    not hurt — and should measurably help at aggressive bit widths."""
+    sig = _sig(0.4)
+    base = CodecConfig(**{**SMALL.__dict__, "quantize": mode})
+    refit = CodecConfig(**{**SMALL.__dict__, "quantize": mode,
+                           "refit_steps": 150, "refit_lr": 1e-4})
+    _, rec0 = decode(encode(sig, FS, base))
+    _, rec1 = decode(encode(sig, FS, refit))
+
+    def snr(rec):
+        return 10 * np.log10(np.sum(sig ** 2)
+                             / max(np.sum((sig - rec) ** 2), 1e-20))
+
+    s0, s1 = snr(rec0), snr(rec1)
+    assert s1 > s0 - 0.1, (s0, s1)        # never materially worse
+    if mode == "int4":
+        assert s1 > s0 + 1.0, (s0, s1)    # visibly better where it matters
