@@ -72,11 +72,18 @@ def main(argv=None) -> int:
     enc.add_argument("--refit-steps", type=int, default=0,
                      help="quantization-aware refit: fine-tune the float32 "
                           "leaves around the frozen quantized weights")
+    enc.add_argument("--max-chunks", type=int, default=0,
+                     help="train the chunk population in batches of this "
+                          "size (bounds device memory for long inputs; "
+                          "0 = all at once)")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
     dec.add_argument("--output", required=True)
     dec.add_argument("--fused", action="store_true")
+    dec.add_argument("--max-chunks", type=int, default=0,
+                     help="decode the chunk population in batches of this "
+                          "size (bounds device memory; 0 = all at once)")
     dec.add_argument("--upsample", type=int, default=1,
                      help="decode on an N-times denser grid "
                           "(INR bandwidth extension)")
@@ -119,7 +126,8 @@ def main(argv=None) -> int:
             hidden_features=args.hidden, first_omega_0=args.omega,
             learning_rate=args.learning_rate, total_steps=args.total_steps,
             quantize=None if args.quantize == "none" else args.quantize,
-            fused=args.fused, refit_steps=args.refit_steps))
+            fused=args.fused, refit_steps=args.refit_steps,
+            max_chunks_per_batch=args.max_chunks or None))
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
         stats = compression_stats(payload, path)
@@ -131,7 +139,8 @@ def main(argv=None) -> int:
         from .codec import decode as _dec, load_inr
         from .data.audio_io import write_wav
         fs, rec = _dec(load_inr(args.input), fused=args.fused,
-                       upsample=args.upsample)
+                       upsample=args.upsample,
+                       max_chunks_per_batch=args.max_chunks or None)
         write_wav(args.output, fs, rec)
         print(json.dumps({"path": args.output, "sample_rate": fs,
                           "samples": int(len(rec))}))

@@ -65,6 +65,10 @@ class CodecConfig:
     # of the quantization error.  0 = off.
     refit_steps: int = 0
     refit_lr: float = 1e-4
+    # Bound device memory for long inputs: train/decode the chunk
+    # population in fixed-size batches (None = whole population at once;
+    # past ~4 min of 44.1 kHz the unbatched states exceed one 16 GB chip).
+    max_chunks_per_batch: int | None = None
 
 
 def quantize_inr_params(params: Any, mode: str) -> Any:
@@ -179,7 +183,8 @@ def encode(signal: np.ndarray, sample_rate: int,
         TrainConfig(total_steps=cfg.total_steps,
                     learning_rate=cfg.learning_rate,
                     grad_clip_norm=cfg.grad_clip_norm),
-        key=jax.random.PRNGKey(cfg.seed))
+        key=jax.random.PRNGKey(cfg.seed),
+        max_chunks_per_batch=cfg.max_chunks_per_batch)
 
     # best params per chunk, real chunks only
     params = jax.tree.map(lambda x: np.asarray(x)[: res.num_chunks],
@@ -219,14 +224,16 @@ def encode(signal: np.ndarray, sample_rate: int,
 
 
 def decode(payload: dict[str, Any], fused: bool = False,
-           upsample: int = 1) -> tuple[int, np.ndarray]:
+           upsample: int = 1,
+           max_chunks_per_batch: int | None = None) -> tuple[int, np.ndarray]:
     """Payload -> (sample_rate, waveform). Inverse of ``encode``.
 
     ``upsample`` > 1 evaluates every chunk's INR on a grid that many times
     denser — bandwidth-extension decode straight from the compressed
     payload (the INR is continuous; this is the codec-side analogue of the
     runner's ``bwe`` flag, reference run.py:131,251-253).  Returns the
-    upsampled rate.
+    upsampled rate.  ``max_chunks_per_batch`` bounds device memory for
+    long clips (same knob as ``multi_inr_fit``).
     """
     meta = payload["meta"]
     if meta.get("format") != _FORMAT:
@@ -258,7 +265,25 @@ def decode(payload: dict[str, Any], fused: bool = False,
         coords = jnp.asarray(
             (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32))
     hop = meta["hop"] * u
-    outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
+    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    k = meta["num_chunks"]
+    if not max_chunks_per_batch or k <= max_chunks_per_batch:
+        outs = np.asarray(fn(params))
+    else:
+        kb = max_chunks_per_batch
+        host = jax.tree.map(np.asarray, params)
+        pieces = []
+        for start in range(0, k, kb):
+            real = min(kb, k - start)
+            sl = jax.tree.map(lambda x: x[start:start + real], host)
+            if real < kb:  # repeat row 0: one executable for every batch
+                sl = jax.tree.map(
+                    lambda x: np.concatenate(
+                        [x, np.repeat(x[:1], kb - real, axis=0)], axis=0),
+                    sl)
+            pieces.append(
+                np.asarray(fn(jax.tree.map(jnp.asarray, sl)))[:real])
+        outs = np.concatenate(pieces, axis=0)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
     return (meta["sample_rate"] * u,
             stitch_chunks(outs, hop, meta["signal_length"] * u))

@@ -106,16 +106,57 @@ def multi_inr_fit(model: INRModel,
                   train_cfg: TrainConfig | None = None,
                   key: jax.Array | None = None,
                   mesh=None,
-                  metrics=None) -> MultiINRResult:
+                  metrics=None,
+                  max_chunks_per_batch: int | None = None) -> MultiINRResult:
     """Fit one INR per chunk, all chunks at once (vmap over the chunk axis,
     chunk axis sharded over the mesh).  ``metrics`` (a MetricsLogger)
-    streams one record per scan round."""
+    streams one record per scan round.
+
+    ``max_chunks_per_batch`` bounds device memory for LONG audio: each
+    chunk's TrainState (params + best + Adam moments) is ~1.3 MB at h=128,
+    so an unbatched population OOMs one 16 GB chip past roughly 4 minutes
+    of 44.1 kHz input.  With a bound, the population is trained in fixed-
+    size batches (padded so every batch reuses ONE compiled executable)
+    and finished states accumulate on the HOST — device memory holds one
+    batch regardless of clip length.
+    """
     cfg = cfg or MultiINRConfig()
     train_cfg = train_cfg or TrainConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
     chunks, n, hop = chunk_signal(np.asarray(signal, dtype=np.float32),
                                   sample_rate, cfg)
-    return _fit_chunk_population(model, chunks, n, hop, len(signal),
-                                 cfg, train_cfg, key, mesh, metrics=metrics)
+    k = chunks.shape[0]
+    if not max_chunks_per_batch or k <= max_chunks_per_batch:
+        return _fit_chunk_population(model, chunks, n, hop, len(signal),
+                                     cfg, train_cfg, key, mesh,
+                                     metrics=metrics)
+    kb = max_chunks_per_batch
+    parts = []
+    for bi, start in enumerate(range(0, k, kb)):
+        batch = chunks[start:start + kb]
+        real = batch.shape[0]
+        if real < kb:  # pad: every batch compiles to the same executable
+            batch = np.concatenate(
+                [batch, np.zeros((kb - real, n), np.float32)], axis=0)
+        r = _fit_chunk_population(model, batch, n, hop, batch.shape[0] * n,
+                                  cfg, train_cfg,
+                                  jax.random.fold_in(key, bi), mesh,
+                                  metrics=metrics)
+        # pull this batch's states to the host before the next one compiles
+        parts.append((jax.tree.map(lambda x: np.asarray(x)[:real],
+                                   r.states),
+                      r.chunk_scales[:real],
+                      np.asarray(r.loss_history)[:, :real],
+                      r.train_time_s))
+    states = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
+                          *[p[0] for p in parts])
+    return MultiINRResult(
+        states=states,
+        chunk_scales=np.concatenate([p[1] for p in parts]),
+        chunk_length=n, hop=hop, num_chunks=k,
+        signal_length=len(signal),
+        loss_history=np.concatenate([p[2] for p in parts], axis=1),
+        train_time_s=sum(p[3] for p in parts))
 
 
 def multi_inr_fit_many(model: INRModel,
@@ -251,13 +292,35 @@ def stitch_chunks(outs: np.ndarray, hop: int, length: int) -> np.ndarray:
 
 
 def multi_inr_decode(model: INRModel, result: MultiINRResult,
-                     track_best: bool = True) -> np.ndarray:
+                     track_best: bool = True,
+                     max_chunks_per_batch: int | None = None) -> np.ndarray:
     """Decode every chunk (one vmapped dense eval) and overlap-add with a
-    crossfade window -> the stitched waveform at the training rate."""
+    crossfade window -> the stitched waveform at the training rate.
+
+    ``max_chunks_per_batch`` evaluates the population in fixed-size padded
+    batches (device memory bounded for long clips; same knob as
+    ``multi_inr_fit``)."""
     n, hop, k = result.chunk_length, result.hop, result.num_chunks
     coords = jnp.asarray(get_coord(n, dim=1))
     params = (result.states.best_params if track_best
               else result.states.params)
-    outs = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))(params)
+    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    if not max_chunks_per_batch or k <= max_chunks_per_batch:
+        outs = np.asarray(fn(jax.tree.map(jnp.asarray, params)))
+    else:
+        kb = max_chunks_per_batch
+        host = jax.tree.map(np.asarray, params)
+        pieces = []
+        for start in range(0, k, kb):
+            real = min(kb, k - start)
+            sl = jax.tree.map(lambda x: x[start:start + real], host)
+            if real < kb:  # repeat row 0: same executable for every batch
+                sl = jax.tree.map(
+                    lambda x: np.concatenate(
+                        [x, np.repeat(x[:1], kb - real, axis=0)], axis=0),
+                    sl)
+            pieces.append(
+                np.asarray(fn(jax.tree.map(jnp.asarray, sl)))[:real])
+        outs = np.concatenate(pieces, axis=0)
     outs = np.asarray(outs)[:k, :, 0] * result.chunk_scales[:, None]  # (k, n)
     return stitch_chunks(outs, hop, result.signal_length)

@@ -337,3 +337,42 @@ def test_multi_inr_fit_many_sharded_8dev():
     for sig, res in zip(sigs, results):
         rec = multi_inr_decode(model, res)
         assert rec.shape == sig.shape and np.all(np.isfinite(rec))
+
+
+class TestBatchedMultiINR:
+    """max_chunks_per_batch: bounded-memory fit/decode for long audio."""
+
+    def _setup(self):
+        sig = 0.8 * _sine(0.3, 660)
+        model = build_model("mlp", SirenSnakeTanhConfig(
+            first_omega_0=150.0, hidden_features=32, num_sine=1,
+            num_snake=0))
+        cfg = MultiINRConfig(chunk_seconds=0.04, overlap_fraction=0.25)
+        tcfg = TrainConfig(total_steps=400, scan_chunk=100)
+        return sig, model, cfg, tcfg
+
+    def test_batched_fit_matches_chunk_count_and_quality(self):
+        sig, model, cfg, tcfg = self._setup()
+        mesh = make_mesh(jax.devices()[:1])
+        full = multi_inr_fit(model, sig, FS, cfg, tcfg,
+                             key=jax.random.PRNGKey(0), mesh=mesh)
+        batched = multi_inr_fit(model, sig, FS, cfg, tcfg,
+                                key=jax.random.PRNGKey(0), mesh=mesh,
+                                max_chunks_per_batch=4)
+        assert batched.num_chunks == full.num_chunks >= 8
+        assert batched.chunk_scales.shape == full.chunk_scales.shape
+        assert batched.loss_history.shape == full.loss_history.shape
+        from inraudio_tpu.dsp import calculate_snr
+        out = multi_inr_decode(model, batched)
+        assert out.shape == sig.shape
+        assert float(calculate_snr(sig, out)) > 15
+
+    def test_batched_decode_is_exact(self):
+        """Batched decode of the SAME result must equal unbatched decode."""
+        sig, model, cfg, tcfg = self._setup()
+        res = multi_inr_fit(model, sig, FS, cfg, tcfg,
+                            key=jax.random.PRNGKey(0),
+                            mesh=make_mesh(jax.devices()[:1]))
+        rec_full = multi_inr_decode(model, res)
+        rec_batched = multi_inr_decode(model, res, max_chunks_per_batch=3)
+        np.testing.assert_allclose(rec_batched, rec_full, atol=1e-6)
