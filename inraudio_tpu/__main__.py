@@ -94,10 +94,10 @@ def main(argv=None) -> int:
              "fit, stitch, report SNR, write the reconstruction")
     fm.add_argument("--input", required=True)
     fm.add_argument("--output", required=True)
-    fm.add_argument("--chunk-s", type=float, default=0.05)
+    fm.add_argument("--chunk-s", type=float, default=0.02322)
     fm.add_argument("--overlap", type=float, default=0.1)
     fm.add_argument("--hidden", type=int, default=128)
-    fm.add_argument("--omega", type=float, default=500.0)
+    fm.add_argument("--omega", type=float, default=230.0)
     fm.add_argument("--learning-rate", type=float, default=1e-3)
     fm.add_argument("--grad-clip", type=float, default=1.0)
     fm.add_argument("--total-steps", type=int, default=3000)
@@ -105,6 +105,9 @@ def main(argv=None) -> int:
                     help="Pallas fused kernel + polynomial sin (TPU only)")
     fm.add_argument("--metrics", default=None,
                     help="stream per-round JSONL metrics to this path")
+    fm.add_argument("--max-chunks", type=int, default=0,
+                    help="train in batches of this many chunks (bounds "
+                         "device memory for long inputs; 0 = all at once)")
 
     args = ap.parse_args(argv)
     if args.cmd == "fit":
@@ -167,10 +170,12 @@ def main(argv=None) -> int:
             TrainConfig(total_steps=args.total_steps,
                         learning_rate=args.learning_rate,
                         grad_clip_norm=args.grad_clip),
-            metrics=metrics)
+            metrics=metrics,
+            max_chunks_per_batch=args.max_chunks or None)
         if metrics is not None:
             metrics.close()
-        rec = multi_inr_decode(model, res)
+        rec = multi_inr_decode(model, res,
+                               max_chunks_per_batch=args.max_chunks or None)
         write_wav(args.output, fs, rec)
         print(json.dumps({
             "path": args.output,
