@@ -261,16 +261,23 @@ def _kan_bwd_kernel(x_ref, g_ref, *refs, layer_dims, spline_order, n_coef,
             g = gx
 
 
-def _kan_bwd_block_rows(cfg: KANConfig, layer_dims) -> int:
+def _kan_bwd_block_rows(cfg: KANConfig, layer_dims,
+                        n_rows: int | None = None) -> int:
     """VMEM-aware backward tile: live floats/row = the saved layer inputs
     + two Cox-de-Boor lists (order k and k-1) and derivative temps on the
-    widest layer + the cotangent; budget the live set at ~3 MB."""
+    widest layer + the cotangent; budget the live set at ~3 MB.  With
+    ``n_rows``, pick the under-cap tile minimising total row padding
+    (ties prefer the larger tile)."""
     max_din = max(d for d, _ in layer_dims)
     n_coef = cfg.grid_size + cfg.spline_order
     per_row = (sum(d for d, _ in layer_dims)
                + (2 * n_coef + 5) * max_din + layer_dims[-1][1])
     cap = (3 * 1024 * 1024) // (per_row * 4)
-    return max(128, (cap // 128) * 128)
+    cap = max(128, (cap // 128) * 128)
+    if n_rows is None:
+        return cap
+    cands = range(128, cap + 1, 128)
+    return min(cands, key=lambda b: (_round_up(max(n_rows, b), b), -b))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "layer_dims",
@@ -341,7 +348,9 @@ def _fused_kan_flat_bwd(cfg, layer_dims, block_rows, interpret, residuals,
                         gout):
     flat, coords = residuals
     grads = _kan_backward(flat, coords, gout, cfg, layer_dims,
-                          _kan_bwd_block_rows(cfg, layer_dims), interpret)
+                          _kan_bwd_block_rows(cfg, layer_dims,
+                                              n_rows=coords.shape[0]),
+                          interpret)
     return grads, None
 
 

@@ -245,7 +245,7 @@ def _fused_stack_fwd(flat_params, coords, bt, cfg, block_rows,
 
 
 def _bwd_block_rows(cfg: SirenSnakeTanhConfig, block_rows: int,
-                    rff_features: int = 0) -> int:
+                    rff_features: int = 0, n_rows: int | None = None) -> int:
     """VMEM-aware backward tile size.
 
     The backward keeps the recomputed per-layer (input, pre-activation)
@@ -255,13 +255,22 @@ def _bwd_block_rows(cfg: SirenSnakeTanhConfig, block_rows: int,
     blocks and pipelining buffers).  Cap the live set at ~4 MB (measured:
     6 MB still overflows at h=160 under vmap) and keep the tile a multiple
     of 128.
+
+    With ``n_rows``, pick the tile UNDER the cap that minimises total row
+    padding: e.g. h=128 caps the tile at 640, and a 1024-row chunk would
+    pad to 1280 (25% wasted backward compute) — a 512-row tile covers it
+    exactly.  Ties prefer the larger tile (fewer grid steps).
     """
     n_layers = len(cfg.layer_kinds)
     budget = 4 * 1024 * 1024
     floats_per_row = 2 * n_layers * cfg.hidden_features + 2 * rff_features
     cap = budget // (floats_per_row * 4)
     cap = max(128, (cap // 128) * 128)
-    return min(block_rows, cap)
+    hi = max(128, min(block_rows, cap))
+    if n_rows is None:
+        return hi
+    cands = range(128, hi + 1, 128)
+    return min(cands, key=lambda b: (_round_up(max(n_rows, b), b), -b))
 
 
 def _fused_stack_bwd(cfg, block_rows, compute_dtype_name, interpret,
@@ -269,7 +278,8 @@ def _fused_stack_bwd(cfg, block_rows, compute_dtype_name, interpret,
     flat_params, coords, bt = residuals
     rff_features = 0 if bt is None else bt.shape[1]
     grads = _backward(flat_params, coords, g, cfg,
-                      _bwd_block_rows(cfg, block_rows, rff_features),
+                      _bwd_block_rows(cfg, block_rows, rff_features,
+                                      n_rows=coords.shape[0]),
                       compute_dtype_name, interpret, approx_sin, bt=bt)
     # flat-params grads (list pytree); no dcoords; B is a fixed projection
     bt_grad = None if bt is None else jnp.zeros_like(bt)
