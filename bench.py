@@ -156,19 +156,20 @@ def bench_multi() -> float:
     signal = signal.astype(np.float32)
     log(f"fit target: {len(signal)} samples @ {fs} Hz, multi-INR")
 
-    # chunk_seconds picked so the chunk length is EXACTLY 1024 rows at
-    # 44.1 kHz — one fused-kernel tile, zero row-padding waste (a 0.05 s
-    # chunk = 2205 rows pads to 3072: 39% wasted compute).  Shorter chunks
-    # are also easier fitting problems (more chunks = more total capacity,
-    # omega scales down with the window), worth several dB: 0.05 s -> 108.9,
-    # 2048 rows -> 110.5, 1024 rows -> 114.0 dB at the same budget; 512-row
-    # chunks reach 114.5 but halve decode throughput (they pad back to one
-    # 1024-row tile).  BASELINE.md has the scan.
+    # chunk_seconds picked so the chunk length is EXACTLY 512 rows at
+    # 44.1 kHz — one fused-kernel tile (the cost-model tile picker takes a
+    # non-compact 512-row block over padding to 1024), zero row-padding
+    # waste.  Shorter chunks are easier fitting problems (more chunks =
+    # more total capacity, omega scales down with the window), worth
+    # several dB: 0.05 s/2205 rows -> 108.9, 2048 rows -> 110.5,
+    # 1024 rows -> 114.9, **512 rows -> 115.6** dB at the same budget;
+    # 256-row chunks reach 116.1 but drop stitched decode to
+    # 94 Msamples/s (< the 100 north star).  BASELINE.md has the scan.
     mc = MultiINRConfig(
-        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.02322")),
+        chunk_seconds=float(os.environ.get("BENCH_CHUNK_S", "0.01161")),
         overlap_fraction=float(os.environ.get("BENCH_OVERLAP", "0.1")))
     model_cfg = SirenSnakeTanhConfig(
-        first_omega_0=float(os.environ.get("BENCH_OMEGA", "230")),
+        first_omega_0=float(os.environ.get("BENCH_OMEGA", "115")),
         hidden_features=int(os.environ.get("BENCH_HIDDEN", "128")),
         num_sine=int(os.environ.get("BENCH_NUM_SINE", "2")),
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))

@@ -94,10 +94,10 @@ def main(argv=None) -> int:
              "fit, stitch, report SNR, write the reconstruction")
     fm.add_argument("--input", required=True)
     fm.add_argument("--output", required=True)
-    fm.add_argument("--chunk-s", type=float, default=0.02322)
+    fm.add_argument("--chunk-s", type=float, default=0.01161)
     fm.add_argument("--overlap", type=float, default=0.1)
     fm.add_argument("--hidden", type=int, default=128)
-    fm.add_argument("--omega", type=float, default=230.0)
+    fm.add_argument("--omega", type=float, default=115.0)
     fm.add_argument("--learning-rate", type=float, default=1e-3)
     fm.add_argument("--grad-clip", type=float, default=1.0)
     fm.add_argument("--total-steps", type=int, default=3000)

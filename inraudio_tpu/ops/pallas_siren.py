@@ -47,16 +47,30 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block_rows(n: int, requested: int) -> int:
-    """Tile size (multiple of 1024, for the compact-output layout) that
-    minimises row padding: a 2205-row chunk at block 2048 pads to 4096
-    (86% wasted compute); block 1024 pads to 3072.  Ties prefer the larger
-    tile (fewer grid steps).  Requests below 1024 are honored verbatim
-    (tests exercise multi-tile grids with small blocks; the compact layout
-    check downstream simply disables itself for non-1024-multiples)."""
+    """Tile size minimising estimated cost = padded rows x write penalty.
+
+    1024-multiples enable the compact scalar-output layout (the (8,128)
+    output tile constraint); smaller multiples of 128 avoid row-padding
+    waste for short inputs (a 512-row chunk at block 1024 computes 2x the
+    useful rows) at the price of the lane-padded (rows, 128) output write
+    — measured ~10% of the step at h=128, modelled as a 1.1x factor.  Ties
+    prefer the larger tile (fewer grid steps).  Requests below 1024 are
+    honored verbatim (tests exercise multi-tile grids with small blocks;
+    the compact-layout check downstream disables itself for
+    non-1024-multiples)."""
     if requested < 1024:
         return requested
-    candidates = [b for b in (1024, 2048, 4096) if b <= requested]
-    return min(candidates, key=lambda b: (_round_up(max(n, b), b), -b))
+
+    def cost(b):
+        padded = _round_up(max(n, b), b)
+        rows = padded if b % 1024 == 0 else padded * 1.1
+        # ~64 rows-equivalent of fixed dispatch/pipeline cost per tile:
+        # keeps the model from shattering medium inputs into tiny tiles
+        return (rows + 64 * (padded // b), -b)
+
+    candidates = [b for b in (128, 256, 384, 512, 640, 768, 896,
+                              1024, 2048, 4096) if b <= requested]
+    return min(candidates, key=cost)
 
 
 def _f32_dot_mode() -> str:
