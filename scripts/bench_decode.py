@@ -47,8 +47,8 @@ def run_case(name):
         model = build_model("kan", KANConfig(layers_hidden=(1, 128, 128, 1)),
                             fused=True)
     elif name == "vmap":
-        # the bench headline shape: 156 chunks x 2425 rows, h=128
-        k, rows = 156, 2425
+        # the bench headline shape: 672 chunks x 512 rows, h=128
+        k, rows = 672, 512
         model = build_model("mlp", SirenSnakeTanhConfig(
             hidden_features=128, first_omega_0=500.0), fused=True,
             approx_sin=True)
