@@ -11,14 +11,15 @@ default workload is 20k full-batch Adam steps on a single GPU, run.py:30).
 vs_baseline >= 1.0 means the target is met or beaten.
 
 Default recipe (BENCH_MODE=multi): the framework's chunk-parallel multi-INR
-path — the clip splits into 0.05 s windows, one SirenWithSnakeTanh (h=128,
-omega0=500) per window, ALL windows trained simultaneously as one vmapped
-jitted scan with global-norm grad clipping (chunk axis = batch axis on the
-MXU; shards across chips on a multi-chip mesh), fused Pallas kernels,
-decoded with crossfade overlap-add.  Reaches ~110 dB on one v5e chip vs
-0 dB for the reference's single full-batch model at omega0=22000 (which is
-frozen at signal power for its first thousands of steps).  BENCH_MODE=full
-runs that reference-style full-batch fit instead; see BASELINE.md for the
+path — the clip splits into 512-sample windows (one fused-kernel tile
+each), one SirenWithSnakeTanh (h=128, omega0=115) per window, ALL windows
+trained simultaneously as one vmapped jitted scan with global-norm grad
+clipping (chunk axis = batch axis on the MXU; shards across chips on a
+multi-chip mesh), fused Pallas kernels, decoded with crossfade
+overlap-add.  Reaches ~115.6 dB on one v5e chip vs 0 dB for the
+reference's single full-batch model at omega0=22000 (which is frozen at
+signal power for its first thousands of steps).  BENCH_MODE=full runs
+that reference-style full-batch fit instead; see BASELINE.md for the
 recipe-scan history.
 
 Secondary numbers (steps/sec, decode Msamples/sec) go to stderr for
@@ -64,11 +65,20 @@ TARGET_DB = 40.0
 MODE = os.environ.get("BENCH_MODE", "multi")
 ROUND_STEPS = int(os.environ.get("BENCH_CHUNK_STEPS", "200"))
 MAX_STEPS = int(os.environ.get("BENCH_MAX_STEPS", "200000"))
-# per-round JSONL metric stream (same MetricsLogger the runner uses)
-METRICS = MetricsLogger(os.environ.get(
-    "BENCH_METRICS",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 ".bench_metrics.jsonl")))
+# per-round JSONL metric stream (same MetricsLogger the runner uses) —
+# created lazily so `from bench import measure_decode` (scripts/) does not
+# open the file as an import side effect
+_METRICS: MetricsLogger | None = None
+
+
+def _metrics() -> MetricsLogger:
+    global _METRICS
+    if _METRICS is None:
+        _METRICS = MetricsLogger(os.environ.get(
+            "BENCH_METRICS",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_metrics.jsonl")))
+    return _METRICS
 
 
 def log(*a):
@@ -183,7 +193,9 @@ def bench_multi() -> float:
         learning_rate=float(os.environ.get("BENCH_LR", "1e-3")),
         # global-norm clip: individual chunks otherwise diverge at lrs the
         # rest of the population likes (BASELINE.md scan data)
-        grad_clip_norm=float(os.environ.get("BENCH_CLIP", "1.0")))
+        grad_clip_norm=float(os.environ.get("BENCH_CLIP", "1.0")),
+        plateau_patience=int(os.environ.get("BENCH_PATIENCE", "200")),
+        plateau_factor=float(os.environ.get("BENCH_PLATEAU_FACTOR", "0.8")))
 
     chunks, n, hop = chunk_signal(signal, fs, mc)
     k = chunks.shape[0]
@@ -254,7 +266,7 @@ def bench_multi() -> float:
                 t40 = time.time() - t0
             extra = f" snr~{s_now:6.2f} dB"
         worst = float(np.max(np.asarray(h[-1])))
-        METRICS.log({"event": "round", "mode": "multi", "step": steps,
+        _metrics().log({"event": "round", "mode": "multi", "step": steps,
                      "worst_chunk_loss": worst,
                      "elapsed_s": round(time.time() - t0, 3),
                      **({"snr_db": s_now} if track_snr else {})})
@@ -379,7 +391,7 @@ def bench_full() -> float:
         steps += ROUND_STEPS
         snr = float(snr_now(state, coords_d, targets_d))
         best_snr = max(best_snr, snr)
-        METRICS.log({"event": "round", "mode": "full", "step": steps,
+        _metrics().log({"event": "round", "mode": "full", "step": steps,
                      "loss": float(losses[-1]), "snr_db": snr,
                      "elapsed_s": round(time.time() - t0, 3)})
         log(f"  t={time.time() - t0:5.1f}s steps={steps:6d} "

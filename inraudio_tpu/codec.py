@@ -32,8 +32,8 @@ from .data.coords import get_coord
 from .models import (SirenSnakeTanhConfig, build_model,
                      dequantize_params, param_bytes, quantize_params)
 from .train.loop import TrainConfig
-from .train.multi_inr import (MultiINRConfig, chunk_signal, multi_inr_fit,
-                              stitch_chunks)
+from .train.multi_inr import (MultiINRConfig, batched_chunk_eval,
+                              chunk_signal, multi_inr_fit, stitch_chunks)
 from .train.optim import AdamConfig, adam_init, adam_update
 
 # v2: quantization is sensitivity-aware (layer-0 weights/biases stay
@@ -96,20 +96,11 @@ def dequantize_inr_params(params: Any) -> Any:
     return dequantize_params(params)
 
 
-def quantization_aware_refit(model, params: Any, mode: str,
-                             targets: np.ndarray, coords: np.ndarray,
-                             steps: int, lr: float = 1e-4) -> Any:
-    """Refit the float32 leaves around frozen quantized weights.
-
-    ``params`` is the stacked (k, ...) float32 best-params pytree;
-    ``targets`` the (k, n, 1) normalised chunk targets it was fit to.  The
-    hidden/last weight matrices are quantized (``mode``) and FROZEN at the
-    values the decoder will reconstruct; the remaining float32 leaves
-    (layer-0 weights, biases, snake a — the ~1% byte share that ships
-    unquantized) are fine-tuned so they absorb part of the quantization
-    error.  Returns the stored-form pytree (quantized weight dicts +
-    refitted float32 leaves), same structure ``load_inr`` expects.
-    """
+def _refit_trainable(model, params: Any, mode: str, targets: np.ndarray,
+                     coords: np.ndarray, steps: int, lr: float) -> Any:
+    """Core of the quantization-aware refit: fine-tune the float32 leaves
+    around FROZEN dequantized weight matrices; returns the refitted
+    trainable pytree (plain float arrays, leading chunk axis)."""
     q = quantize_inr_params(params, mode)
     dq = dequantize_inr_params(q)
     n_layers = len(dq["layers"])
@@ -152,10 +143,58 @@ def quantization_aware_refit(model, params: Any, mode: str,
                                          length=steps)
         return tr, losses
     trainable, _ = run(trainable, opt)
+    return jax.tree.map(np.asarray, trainable)
 
+
+def quantization_aware_refit(model, params: Any, mode: str,
+                             targets: np.ndarray, coords: np.ndarray,
+                             steps: int, lr: float = 1e-4,
+                             max_chunks_per_batch: int | None = None) -> Any:
+    """Refit the float32 leaves around frozen quantized weights.
+
+    ``params`` is the stacked (k, ...) float32 best-params pytree;
+    ``targets`` the (k, n, 1) normalised chunk targets it was fit to.  The
+    hidden/last weight matrices are quantized (``mode``) and FROZEN at the
+    values the decoder will reconstruct; the remaining float32 leaves
+    (layer-0 weights, biases, snake a — the ~1% byte share that ships
+    unquantized) are fine-tuned so they absorb part of the quantization
+    error.  Returns the stored-form pytree (quantized weight dicts +
+    refitted float32 leaves), same structure ``load_inr`` expects.
+
+    ``max_chunks_per_batch`` refits in fixed-size batches (chunks are
+    independent, and the per-chunk quantization scales make a slice's
+    frozen weights identical to the full population's) — the same
+    device-memory bound the encode-side fit honors.
+    """
+    params = jax.tree.map(np.asarray, params)
+    targets = np.asarray(targets)
+    k = targets.shape[0]
+    kb = max_chunks_per_batch
+    if kb and k > kb:
+        parts = []
+        for start in range(0, k, kb):
+            real = min(kb, k - start)
+            sl_p = jax.tree.map(lambda x: x[start:start + real], params)
+            sl_t = targets[start:start + real]
+            if real < kb:  # repeat row 0: one executable for every batch
+                pad = (lambda x: np.concatenate(
+                    [x, np.repeat(x[:1], kb - real, axis=0)], axis=0))
+                sl_p = jax.tree.map(pad, sl_p)
+                sl_t = pad(sl_t)
+            part = _refit_trainable(model, sl_p, mode, sl_t, coords,
+                                    steps, lr)
+            parts.append(jax.tree.map(lambda x: x[:real], part))
+        trainable = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0), *parts)
+    else:
+        trainable = _refit_trainable(model, params, mode, targets, coords,
+                                     steps, lr)
+
+    q = quantize_inr_params(params, mode)
     stored_layers = []
-    for li in range(n_layers):
-        new = {k: np.asarray(v) for k, v in trainable["layers"][li].items()}
+    for li in range(len(q["layers"])):
+        new = {kk: np.asarray(v)
+               for kk, v in trainable["layers"][li].items()}
         if li > 0:
             new["w"] = q["layers"][li]["w"]
         stored_layers.append(new)
@@ -198,7 +237,8 @@ def encode(signal: np.ndarray, sample_rate: int,
                    / res.chunk_scales[: res.num_chunks, None])[..., None]
         stored = quantization_aware_refit(
             model, params, cfg.quantize, targets,
-            np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr)
+            np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr,
+            max_chunks_per_batch=cfg.max_chunks_per_batch)
     elif cfg.quantize:
         stored = quantize_inr_params(params, cfg.quantize)
     else:
@@ -266,24 +306,8 @@ def decode(payload: dict[str, Any], fused: bool = False,
             (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32))
     hop = meta["hop"] * u
     fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
-    k = meta["num_chunks"]
-    if not max_chunks_per_batch or k <= max_chunks_per_batch:
-        outs = np.asarray(fn(params))
-    else:
-        kb = max_chunks_per_batch
-        host = jax.tree.map(np.asarray, params)
-        pieces = []
-        for start in range(0, k, kb):
-            real = min(kb, k - start)
-            sl = jax.tree.map(lambda x: x[start:start + real], host)
-            if real < kb:  # repeat row 0: one executable for every batch
-                sl = jax.tree.map(
-                    lambda x: np.concatenate(
-                        [x, np.repeat(x[:1], kb - real, axis=0)], axis=0),
-                    sl)
-            pieces.append(
-                np.asarray(fn(jax.tree.map(jnp.asarray, sl)))[:real])
-        outs = np.concatenate(pieces, axis=0)
+    outs = batched_chunk_eval(fn, params, meta["num_chunks"],
+                              max_chunks_per_batch)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
     return (meta["sample_rate"] * u,
             stitch_chunks(outs, hop, meta["signal_length"] * u))

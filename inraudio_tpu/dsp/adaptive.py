@@ -70,6 +70,21 @@ class AdaptivePlan:
         return sum(sum(self.halves(k)) // 2 for k in self.kinds)
 
 
+def _validate_sizes(n_long: int, n_short: int) -> None:
+    """The long/short grids must nest: the switch group advances exactly
+    two long hops only when n_short divides n_long (and both are even).
+    A non-dividing pair would not crash plan_blocks — it would silently
+    break the a_{i+1} == b_i frame chain and leave uncancelled aliasing
+    in the reconstruction."""
+    if n_long % 2 or n_short % 2:
+        raise ValueError(f"n_long and n_short must be even, got "
+                         f"{n_long}/{n_short}")
+    if n_short <= 0 or n_long % n_short:
+        raise ValueError(
+            f"n_short must divide n_long for critical sampling across a "
+            f"window switch, got n_long={n_long}, n_short={n_short}")
+
+
 def detect_transients(data: np.ndarray, n_long: int = 2048,
                       n_short: int = 256, threshold: float = 8.0
                       ) -> np.ndarray:
@@ -80,6 +95,7 @@ def detect_transients(data: np.ndarray, n_long: int = 2048,
     the classic attack detector that motivates window switching.
     Returns a bool array over the ``len(data) // (n_long//2)`` long slots.
     """
+    _validate_sizes(n_long, n_short)
     data = np.asarray(data, dtype=np.float64)
     hop_s = n_short // 2
     hop_l = n_long // 2
@@ -103,6 +119,7 @@ def plan_blocks(num_samples: int, transients: np.ndarray,
     exactly two long hops and stays critically sampled).  The final frame's
     tail is zero-padded at transform time.
     """
+    _validate_sizes(n_long, n_short)
     hop_l = n_long // 2
     hop_s = n_short // 2
     n_slots = max(1, num_samples // hop_l)

@@ -130,7 +130,9 @@ def _run_experiment(
             encode = None
             enc_coords = problem.coords
         else:
-            encode = lambda c: rff_apply(rff_b, c)  # noqa: E731
+            # bind B via default arg: `rff_b` is rebound to None right
+            # after, and a late-binding closure would call rff_apply(None)
+            encode = lambda c, b=rff_b: rff_apply(b, c)  # noqa: E731
             enc_coords = np.asarray(rff_apply(rff_b,
                                               jnp.asarray(problem.coords)))
             rff_b = None  # arch consumes pre-encoded features

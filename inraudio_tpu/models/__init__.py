@@ -94,8 +94,9 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
     if arch == "kan":
         cfg = config or KANConfig(**overrides)
         if fused:
-            # fused Pallas forward; backward delegates to the XLA autodiff
-            # of kan_apply (ops/pallas_kan.py)
+            # fused Pallas forward AND backward (per-tile basis recompute);
+            # stacks too wide for VMEM-resident grad accumulators fall back
+            # to XLA autodiff of kan_apply (ops/pallas_kan.py)
             from ..ops.pallas_kan import fused_kan_apply
             return INRModel(
                 name="kan_fused", config=cfg,

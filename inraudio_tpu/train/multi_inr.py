@@ -291,6 +291,30 @@ def stitch_chunks(outs: np.ndarray, hop: int, length: int) -> np.ndarray:
     return (acc / np.maximum(den, 1e-12)).astype(np.float32)[:length]
 
 
+def batched_chunk_eval(fn, params, k: int,
+                       max_chunks_per_batch: int | None) -> np.ndarray:
+    """Evaluate a vmapped per-chunk ``fn`` over stacked params in
+    fixed-size batches: the last batch pads by repeating row 0 so every
+    batch reuses ONE compiled executable, and results accumulate on the
+    host — device memory is bounded by the batch size.  ``None`` (or
+    ``k <= batch``) evaluates in one shot.  Shared by ``multi_inr_decode``
+    and the codec's ``decode``."""
+    kb = max_chunks_per_batch
+    if not kb or k <= kb:
+        return np.asarray(fn(jax.tree.map(jnp.asarray, params)))
+    host = jax.tree.map(np.asarray, params)
+    pieces = []
+    for start in range(0, k, kb):
+        real = min(kb, k - start)
+        sl = jax.tree.map(lambda x: x[start:start + real], host)
+        if real < kb:
+            sl = jax.tree.map(
+                lambda x: np.concatenate(
+                    [x, np.repeat(x[:1], kb - real, axis=0)], axis=0), sl)
+        pieces.append(np.asarray(fn(jax.tree.map(jnp.asarray, sl)))[:real])
+    return np.concatenate(pieces, axis=0)
+
+
 def multi_inr_decode(model: INRModel, result: MultiINRResult,
                      track_best: bool = True,
                      max_chunks_per_batch: int | None = None) -> np.ndarray:
@@ -305,22 +329,6 @@ def multi_inr_decode(model: INRModel, result: MultiINRResult,
     params = (result.states.best_params if track_best
               else result.states.params)
     fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
-    if not max_chunks_per_batch or k <= max_chunks_per_batch:
-        outs = np.asarray(fn(jax.tree.map(jnp.asarray, params)))
-    else:
-        kb = max_chunks_per_batch
-        host = jax.tree.map(np.asarray, params)
-        pieces = []
-        for start in range(0, k, kb):
-            real = min(kb, k - start)
-            sl = jax.tree.map(lambda x: x[start:start + real], host)
-            if real < kb:  # repeat row 0: same executable for every batch
-                sl = jax.tree.map(
-                    lambda x: np.concatenate(
-                        [x, np.repeat(x[:1], kb - real, axis=0)], axis=0),
-                    sl)
-            pieces.append(
-                np.asarray(fn(jax.tree.map(jnp.asarray, sl)))[:real])
-        outs = np.concatenate(pieces, axis=0)
+    outs = batched_chunk_eval(fn, params, k, max_chunks_per_batch)
     outs = np.asarray(outs)[:k, :, 0] * result.chunk_scales[:, None]  # (k, n)
     return stitch_chunks(outs, hop, result.signal_length)

@@ -66,3 +66,17 @@ def test_pure_long_plan_matches_stmdct_domain():
     rec = np.asarray(istmdct_adaptive(coeffs, plan))
     interior = slice(2048, len(x) - 2048)
     assert np.max(np.abs(rec[interior] - x[interior])) < 5e-6
+
+
+def test_invalid_size_pairs_rejected():
+    """n_short must divide n_long (critical sampling across a switch) —
+    a silent mismatch would leave uncancelled aliasing, so it must raise."""
+    import pytest
+    from inraudio_tpu.dsp.adaptive import detect_transients, plan_blocks
+    x = np.zeros(4096, dtype=np.float32)
+    with pytest.raises(ValueError):
+        detect_transients(x, n_long=2048, n_short=300)
+    with pytest.raises(ValueError):
+        plan_blocks(4096, np.zeros(2, bool), n_long=2048, n_short=300)
+    with pytest.raises(ValueError):
+        plan_blocks(4096, np.zeros(2, bool), n_long=2047, n_short=256)

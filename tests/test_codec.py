@@ -120,3 +120,24 @@ def test_batched_encode_decode_long_input():
     # batched and unbatched decode of the same payload are identical
     _, rec_full = decode(payload)
     np.testing.assert_allclose(rec, rec_full, atol=1e-6)
+
+
+def test_refit_respects_chunk_batching():
+    """quantization_aware_refit with max_chunks_per_batch must produce a
+    decodable payload of the same quality class as the unbatched refit
+    (chunks are independent; per-chunk quantization scales make a slice's
+    frozen weights identical to the full population's)."""
+    sig = _sig(0.8)
+    base = CodecConfig(**{**SMALL.__dict__, "quantize": "int8",
+                          "refit_steps": 80})
+    batched = CodecConfig(**{**SMALL.__dict__, "quantize": "int8",
+                             "refit_steps": 80, "max_chunks_per_batch": 3})
+    _, rec0 = decode(encode(sig, FS, base))
+    _, rec1 = decode(encode(sig, FS, batched))
+
+    def snr(rec):
+        return 10 * np.log10(np.sum(sig ** 2)
+                             / max(np.sum((sig - rec) ** 2), 1e-20))
+
+    s0, s1 = snr(rec0), snr(rec1)
+    assert s1 > s0 - 1.0, (s0, s1)

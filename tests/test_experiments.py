@@ -114,6 +114,19 @@ class TestTrainRunner:
             with open(os.path.join(d, "k", "parameters.json")) as f:
                 assert "SNR" in json.load(f)
 
+    def test_kan_with_rff_encoding_decodes(self):
+        """Non-mlp arch + num_freq: the decode-time encode closure must
+        hold the sampled B (it is captured before rff_b is rebound to
+        None) — a late-binding lambda here crashed decode after the whole
+        training run."""
+        with tempfile.TemporaryDirectory() as d:
+            train(d, "kr", filename=BACH, duration=0.1, arch="kan",
+                  num_freq=8, total_steps=60, hidden=16, make_plots=False)
+            assert os.path.exists(os.path.join(d, "kr", "output.wav"))
+            with open(os.path.join(d, "kr", "parameters.json")) as f:
+                rec = json.load(f)
+            assert np.isfinite(rec["SNR"])
+
     def test_decimation_and_bwe(self):
         with tempfile.TemporaryDirectory() as d:
             train(d, "b", filename=BACH, duration=0.2, decimation=2, bwe=True,
