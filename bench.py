@@ -194,7 +194,12 @@ def bench_multi() -> float:
         # global-norm clip: individual chunks otherwise diverge at lrs the
         # rest of the population likes (BASELINE.md scan data)
         grad_clip_norm=float(os.environ.get("BENCH_CLIP", "1.0")),
-        plateau_patience=int(os.environ.get("BENCH_PATIENCE", "200")),
+        # fast plateau decay: 512-row chunks saturate their lr-1e-3 descent
+        # within ~50 steps of stalling, and an earlier decay lets every
+        # chunk descend ~5 dB deeper inside the budget (patience scan:
+        # 200 -> 115.6 dB, 100 -> 120.6, **50 -> 121.1**, 25 -> 111.6;
+        # factor 0.9 ties 0.8, factor 0.7 decays too hard)
+        plateau_patience=int(os.environ.get("BENCH_PATIENCE", "50")),
         plateau_factor=float(os.environ.get("BENCH_PLATEAU_FACTOR", "0.8")))
 
     chunks, n, hop = chunk_signal(signal, fs, mc)
