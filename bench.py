@@ -335,7 +335,9 @@ def bench_full() -> float:
         total_steps=MAX_STEPS,
         learning_rate=float(os.environ.get("BENCH_LR", "1e-3")),
         scan_chunk=ROUND_STEPS,
-        grad_clip_norm=float(os.environ.get("BENCH_CLIP", "0.0")))
+        grad_clip_norm=float(os.environ.get("BENCH_CLIP", "0.0")),
+        plateau_patience=int(os.environ.get("BENCH_PATIENCE", "200")),
+        plateau_factor=float(os.environ.get("BENCH_PLATEAU_FACTOR", "0.8")))
     # BENCH_NUM_FREQ > 0: Gaussian RFF encoding owned by the model (folded
     # into the fused kernel) — the reference's num_freq family, run.py:141-144
     num_freq = int(os.environ.get("BENCH_NUM_FREQ", "0"))
