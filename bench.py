@@ -16,7 +16,7 @@ each), one SirenWithSnakeTanh (h=128, omega0=115) per window, ALL windows
 trained simultaneously as one vmapped jitted scan with global-norm grad
 clipping (chunk axis = batch axis on the MXU; shards across chips on a
 multi-chip mesh), fused Pallas kernels, decoded with crossfade
-overlap-add.  Reaches ~115.6 dB on one v5e chip vs 0 dB for the
+overlap-add.  Reaches ~121.3 dB on one v5e chip vs 0 dB for the
 reference's single full-batch model at omega0=22000 (which is frozen at
 signal power for its first thousands of steps).  BENCH_MODE=full runs
 that reference-style full-batch fit instead; see BASELINE.md for the
@@ -197,7 +197,7 @@ def bench_multi() -> float:
         # fast plateau decay: 512-row chunks saturate their lr-1e-3 descent
         # within ~50 steps of stalling, and an earlier decay lets every
         # chunk descend ~5 dB deeper inside the budget (patience scan:
-        # 200 -> 115.6 dB, 100 -> 120.6, **50 -> 121.1**, 25 -> 111.6;
+        # 200 -> 115.6 dB, 100 -> 120.6, **50 -> 121.3**, 25 -> 111.6;
         # factor 0.9 ties 0.8, factor 0.7 decays too hard)
         plateau_patience=int(os.environ.get("BENCH_PATIENCE", "50")),
         plateau_factor=float(os.environ.get("BENCH_PLATEAU_FACTOR", "0.8")))
