@@ -16,7 +16,7 @@ each), one SirenWithSnakeTanh (h=128, omega0=115) per window, ALL windows
 trained simultaneously as one vmapped jitted scan with global-norm grad
 clipping (chunk axis = batch axis on the MXU; shards across chips on a
 multi-chip mesh), fused Pallas kernels, decoded with crossfade
-overlap-add.  Reaches ~121.3 dB on one v5e chip vs 0 dB for the
+overlap-add.  Reaches ~124.9 dB on one v5e chip vs 0 dB for the
 reference's single full-batch model at omega0=22000 (which is frozen at
 signal power for its first thousands of steps).  BENCH_MODE=full runs
 that reference-style full-batch fit instead; see BASELINE.md for the
@@ -190,7 +190,7 @@ def bench_multi() -> float:
     model = build_model("mlp", model_cfg, fused=fused, approx_sin=approx)
     tc = TrainConfig(
         total_steps=MAX_STEPS, scan_chunk=ROUND_STEPS,
-        learning_rate=float(os.environ.get("BENCH_LR", "1e-3")),
+        learning_rate=float(os.environ.get("BENCH_LR", "1.5e-3")),
         # global-norm clip: individual chunks otherwise diverge at lrs the
         # rest of the population likes (BASELINE.md scan data)
         grad_clip_norm=float(os.environ.get("BENCH_CLIP", "1.0")),
