@@ -257,13 +257,22 @@ def bench_multi() -> float:
     log(f"compile: {time.time() - t_setup:.1f}s "
         "(states re-initialized; budget contains all training steps)")
 
+    # STRICT budget: a round that finishes past BUDGET_S is discarded — the
+    # headline state is the device-side snapshot taken at the last round
+    # boundary INSIDE the budget (the snapshot copy is ~ms against ~2 s
+    # rounds).  r02 reported the state at t=31.5 s; this never exceeds 30.0.
     t0 = time.time()
     steps = 0
     t40 = None
+    snap_states, snap_steps, snap_t = None, 0, 0.0
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
         states, h = run(states, targets)
         jax.block_until_ready(h)
         steps += ROUND_STEPS
+        t_now = time.time() - t0
+        if t_now <= BUDGET_S:
+            snap_states = jax.tree_util.tree_map(jnp.copy, states)
+            snap_steps, snap_t = steps, t_now
         extra = ""
         if track_snr:
             s_now = float(quick_snr(states))
@@ -277,7 +286,16 @@ def bench_multi() -> float:
                      **({"snr_db": s_now} if track_snr else {})})
         log(f"  t={time.time() - t0:5.1f}s steps={steps:6d} "
             f"worst-chunk loss={worst:.3e}{extra}")
-    train_time = time.time() - t0
+    if snap_states is not None:
+        states, steps, train_time = snap_states, snap_steps, snap_t
+        log(f"strict budget: headline state is the t={snap_t:.1f}s snapshot "
+            f"({snap_steps} steps); later steps discarded")
+    else:
+        # not even one round fit the budget (tiny BENCH_BUDGET_S): keep the
+        # first round's state and disclose the overshoot
+        train_time = time.time() - t0
+        log(f"WARNING: no round completed within {BUDGET_S}s; reporting the "
+            f"t={train_time:.1f}s state (over budget)")
     if track_snr and t40 is not None:
         log(f"time-to-{TARGET_DB:.0f}dB: {t40:.1f}s "
             f"(round granularity {ROUND_STEPS} steps)")
@@ -389,15 +407,22 @@ def bench_full() -> float:
     log(f"compile: {time.time() - t_setup:.1f}s "
         "(state re-initialized; budget contains all training steps)")
 
+    # strict budget (same policy as bench_multi): only rounds that complete
+    # within BUDGET_S count toward the reported state
     t0 = time.time()
     steps = 0
     best_snr = -np.inf
+    snap_state, snap_steps, snap_t = None, 0, 0.0
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
         state, losses = run_chunk(state, coords_d, targets_d, weight_d)
         jax.block_until_ready(losses)
         steps += ROUND_STEPS
+        t_now = time.time() - t0
         snr = float(snr_now(state, coords_d, targets_d))
-        best_snr = max(best_snr, snr)
+        if t_now <= BUDGET_S:
+            snap_state = jax.tree_util.tree_map(jnp.copy, state)
+            snap_steps, snap_t = steps, t_now
+            best_snr = max(best_snr, snr)
         _metrics().log({"event": "round", "mode": "full", "step": steps,
                      "loss": float(losses[-1]), "snr_db": snr,
                      "elapsed_s": round(time.time() - t0, 3)})
@@ -405,7 +430,14 @@ def bench_full() -> float:
             f"loss={float(losses[-1]):.3e} snr={snr:6.2f} dB")
         if snr >= TARGET_DB:
             break
-    train_time = time.time() - t0
+    if snap_state is not None:
+        state, steps, train_time = snap_state, snap_steps, snap_t
+        log(f"strict budget: headline state is the t={snap_t:.1f}s snapshot "
+            f"({snap_steps} steps)")
+    else:
+        train_time = time.time() - t0
+        log(f"WARNING: no round completed within {BUDGET_S}s; reporting the "
+            f"t={train_time:.1f}s state (over budget)")
 
     coords_j = jnp.asarray(problem.coords)
     decode = jax.jit(lambda p, c: model.apply(p, c))

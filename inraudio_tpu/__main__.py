@@ -54,6 +54,43 @@ def main(argv=None) -> int:
     fit.add_argument("--profile", action="store_true",
                      help="capture a jax.profiler trace of one post-compile "
                           "round into <exp>/trace/")
+    fit.add_argument("--num-channels", type=int, default=1,
+                     help="channels for method=multi (reference run.py:30)")
+    fit.add_argument("--first-linear", action="store_true",
+                     help="first layer Linear+Snake instead of SineLayer "
+                          "(reference run.py:96)")
+    fit.add_argument("--no-last-linear", dest="last_linear",
+                     action="store_false",
+                     help="final layer SineLayer instead of SIREN-init "
+                          "Linear (reference models.py:374-384)")
+    fit.add_argument("--grad-clip-norm", type=float, default=0.0,
+                     help="global-norm gradient clipping (0 = off)")
+    fit.add_argument("--plateau-factor", type=float, default=0.8)
+    fit.add_argument("--plateau-patience", type=int, default=200)
+    fit.add_argument("--multi-resolution-stft", action="store_true",
+                     help="multi-resolution STFT loss term (the reference's "
+                          "commented MultiResolutionSTFTLoss, run.py:127)")
+    fit.add_argument("--n-fft", type=int, default=1024,
+                     help="STFT size for method=fft (reference utils.py:250)")
+    fit.add_argument("--highpass", action="store_true",
+                     help="pre-filter for fft (100 Hz) / mdct (150 Hz) "
+                          "targets (reference utils.py:242,321)")
+    fit.add_argument("--perceptual-mask", action="store_true",
+                     help="hearing-threshold loss weighting for method=mdct "
+                          "(reference's drafted mask, utils.py:365-376)")
+    fit.add_argument("--adaptive", action="store_true",
+                     help="block-switching STMDCT target for method=mdct "
+                          "(pre-echo control)")
+    fit.add_argument("--update-grid-every", type=int, default=0,
+                     help="KAN data-adaptive grid refresh period in steps "
+                          "(reference kan.py:274-279; 0 = never)")
+    fit.add_argument("--scaled-first", action="store_true",
+                     help="first layer = ScaledSineLayer (per-neuron omega "
+                          "linspace, reference models.py:124-183)")
+    fit.add_argument("--encoding", default="rff", choices=["rff", "nerf"],
+                     help="input featurisation used with --num-freq: "
+                          "Gaussian RFF or NeRF positional encoding "
+                          "(reference models.py:14-59)")
 
     enc = sub.add_parser(
         "encode", help="compress a wav into an .inr.npz (multi-INR codec)")
@@ -67,6 +104,10 @@ def main(argv=None) -> int:
     enc.add_argument("--total-steps", type=int, default=3000)
     enc.add_argument("--quantize", default="float16",
                      choices=["none", "float16", "bfloat16", "int8", "int4"])
+    enc.add_argument("--per-row-scales", action="store_true",
+                     help="int modes: one quantization scale per (chunk, "
+                          "output unit) — tighter grid, the int4 "
+                          "rate-distortion lever")
     enc.add_argument("--fused", action="store_true",
                      help="Pallas fused kernel (TPU only)")
     enc.add_argument("--refit-steps", type=int, default=0,
@@ -129,6 +170,7 @@ def main(argv=None) -> int:
             hidden_features=args.hidden, first_omega_0=args.omega,
             learning_rate=args.learning_rate, total_steps=args.total_steps,
             quantize=None if args.quantize == "none" else args.quantize,
+            per_row_scales=args.per_row_scales,
             fused=args.fused, refit_steps=args.refit_steps,
             max_chunks_per_batch=args.max_chunks or None))
         path = save_inr(args.output, payload)

@@ -56,6 +56,10 @@ class CodecConfig:
     grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
     quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int4
+    # int modes: one scale per (chunk, output unit) instead of per chunk —
+    # k*h extra float32 scales for a much tighter grid (int4 needs this to
+    # stay audible; see BASELINE.md rate-distortion table)
+    per_row_scales: bool = False
     fused: bool = False                # Pallas path (TPU only)
     seed: int = 0
     # Quantization-aware refit: after quantizing the hidden/last weight
@@ -71,7 +75,8 @@ class CodecConfig:
     max_chunks_per_batch: int | None = None
 
 
-def quantize_inr_params(params: Any, mode: str) -> Any:
+def quantize_inr_params(params: Any, mode: str,
+                        per_row: bool = False) -> Any:
     """Sensitivity-aware quantization of (stacked) SirenWithSnakeTanh params.
 
     The FIRST layer's weights are multiplied by omega0 (~10^2-10^4) before
@@ -86,7 +91,8 @@ def quantize_inr_params(params: Any, mode: str) -> Any:
         new = dict(layer)
         if li > 0:
             new["w"] = quantize_params(layer["w"], mode,
-                                       per_leading_axis=True)
+                                       per_leading_axis=True,
+                                       per_row=per_row)
         out_layers.append(new)
     return {"layers": out_layers}
 
@@ -97,11 +103,12 @@ def dequantize_inr_params(params: Any) -> Any:
 
 
 def _refit_trainable(model, params: Any, mode: str, targets: np.ndarray,
-                     coords: np.ndarray, steps: int, lr: float) -> Any:
+                     coords: np.ndarray, steps: int, lr: float,
+                     per_row: bool = False) -> Any:
     """Core of the quantization-aware refit: fine-tune the float32 leaves
     around FROZEN dequantized weight matrices; returns the refitted
     trainable pytree (plain float arrays, leading chunk axis)."""
-    q = quantize_inr_params(params, mode)
+    q = quantize_inr_params(params, mode, per_row=per_row)
     dq = dequantize_inr_params(q)
     n_layers = len(dq["layers"])
     frozen_ws = [jnp.asarray(dq["layers"][li]["w"])
@@ -149,7 +156,8 @@ def _refit_trainable(model, params: Any, mode: str, targets: np.ndarray,
 def quantization_aware_refit(model, params: Any, mode: str,
                              targets: np.ndarray, coords: np.ndarray,
                              steps: int, lr: float = 1e-4,
-                             max_chunks_per_batch: int | None = None) -> Any:
+                             max_chunks_per_batch: int | None = None,
+                             per_row: bool = False) -> Any:
     """Refit the float32 leaves around frozen quantized weights.
 
     ``params`` is the stacked (k, ...) float32 best-params pytree;
@@ -182,15 +190,15 @@ def quantization_aware_refit(model, params: Any, mode: str,
                 sl_p = jax.tree.map(pad, sl_p)
                 sl_t = pad(sl_t)
             part = _refit_trainable(model, sl_p, mode, sl_t, coords,
-                                    steps, lr)
+                                    steps, lr, per_row=per_row)
             parts.append(jax.tree.map(lambda x: x[:real], part))
         trainable = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=0), *parts)
     else:
         trainable = _refit_trainable(model, params, mode, targets, coords,
-                                     steps, lr)
+                                     steps, lr, per_row=per_row)
 
-    q = quantize_inr_params(params, mode)
+    q = quantize_inr_params(params, mode, per_row=per_row)
     stored_layers = []
     for li in range(len(q["layers"])):
         new = {kk: np.asarray(v)
@@ -238,9 +246,11 @@ def encode(signal: np.ndarray, sample_rate: int,
         stored = quantization_aware_refit(
             model, params, cfg.quantize, targets,
             np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr,
-            max_chunks_per_batch=cfg.max_chunks_per_batch)
+            max_chunks_per_batch=cfg.max_chunks_per_batch,
+            per_row=cfg.per_row_scales)
     elif cfg.quantize:
-        stored = quantize_inr_params(params, cfg.quantize)
+        stored = quantize_inr_params(params, cfg.quantize,
+                                     per_row=cfg.per_row_scales)
     else:
         stored = params
 
@@ -252,6 +262,7 @@ def encode(signal: np.ndarray, sample_rate: int,
         "hop": int(res.hop),
         "num_chunks": int(res.num_chunks),
         "quantize": cfg.quantize,
+        "per_row_scales": bool(cfg.per_row_scales),
         "model": {
             "hidden_features": cfg.hidden_features,
             "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,

@@ -75,7 +75,9 @@ def waveform_fitting(
     if decimation > 1:
         data = decimate(data, int(decimation))
         sample_rate = sample_rate // int(decimation)
-    peak = float(np.max(np.abs(data)))
+    # zero-peak guard (silent clip): matches multi_inr's per-chunk floor so
+    # the targets stay finite instead of dividing to NaN
+    peak = max(float(np.max(np.abs(data))), 1e-9)
     targets = (data / peak).astype(np.float32).reshape(-1, 1)
     coords = get_coord(len(data), dim=1)
     return FittingProblem(
@@ -108,7 +110,7 @@ def waveform_fitting_from_array(
     if decimation > 1:                  # but orig stays 44100, not 44096
         data = decimate(data, int(decimation))
         sample_rate = sample_rate // int(decimation)
-    peak = float(np.max(np.abs(data)))
+    peak = max(float(np.max(np.abs(data))), 1e-9)
     targets = (data / peak).reshape(-1, 1)
     coords = get_coord(len(data), dim=1, scale=coord_scale)
     return FittingProblem(
@@ -170,7 +172,7 @@ def fft_fitting(
     if highpass:
         data = np.asarray(hpfilter(data, 100.0, sample_rate))
     data = data[: int(duration * sample_rate)]
-    data = data / np.max(np.abs(data))
+    data = data / max(float(np.max(np.abs(data))), 1e-9)
     window = jnp.asarray(hann_window_torch(n_fft), dtype=jnp.float32)
     mag = np.asarray(
         stft_magnitude(jnp.asarray(data, dtype=jnp.float32), n_fft=n_fft, hop=n_fft // 4,
@@ -207,6 +209,9 @@ def mdct_fitting(
     highpass: bool = False,
     takelog: bool = False,
     perceptual_mask: bool = False,
+    adaptive: bool = False,
+    n_short: int = 256,
+    transient_threshold: float = 8.0,
 ) -> FittingProblem:
     """STMDCT-coefficient target (reference ``MDCTFitting``, utils.py:312-414).
 
@@ -218,12 +223,23 @@ def mdct_fitting(
 
     ``perceptual_mask=True`` wires up the hearing-threshold loss attenuation
     the reference drafted but left commented out (utils.py:365-376).
+
+    ``adaptive=True`` switches to the block-switching STMDCT (the window
+    quartet the reference drafts at window.py:67-113): transient slots use
+    short blocks for pre-echo control.  The ragged per-kind coefficient
+    banks become one (n, 2) coordinate problem on a PHYSICAL axis pair —
+    frequency = bin center / kind bandwidth, time = frame center / clip
+    length, both in [-1, 1] — so long and short frames share one coordinate
+    system and a single INR fits both.
     """
     sample_rate, data = read_wav(filename, channel=1)
     if highpass:
         data = np.asarray(hpfilter(data, 150.0, sample_rate))
     data = data[: int(duration * sample_rate)]
-    data = (data / np.max(np.abs(data))).astype(np.float32)
+    data = (data / max(float(np.max(np.abs(data))), 1e-9)).astype(np.float32)
+    if adaptive:
+        return _mdct_fitting_adaptive(data, sample_rate, n, n_short,
+                                      transient_threshold, takelog)
     coeffs = np.asarray(stmdct(jnp.asarray(data), n=n), dtype=np.float32)
 
     shift = 0.0
@@ -255,4 +271,75 @@ def mdct_fitting(
             "scale": scale,
         },
         loss_weight=weight,
+    )
+
+
+def _mdct_fitting_adaptive(data: np.ndarray, sample_rate: int, n_long: int,
+                           n_short: int, threshold: float,
+                           takelog: bool) -> FittingProblem:
+    """Adaptive (block-switching) STMDCT target: detect transients, plan
+    long/start/short/stop frames, transform per-kind banks, flatten to one
+    (n, 2) physical-coordinate problem with a bank-slice decode contract."""
+    from ..dsp.adaptive import (KINDS, detect_transients, plan_blocks,
+                                stmdct_adaptive)
+    flags = detect_transients(data, n_long=n_long, n_short=n_short,
+                              threshold=threshold)
+    plan = plan_blocks(len(data), flags, n_long=n_long, n_short=n_short)
+    banks = {k: np.asarray(v, dtype=np.float32)
+             for k, v in stmdct_adaptive(jnp.asarray(data), plan).items()}
+
+    coords_blocks, target_blocks = [], []
+    bank_slices: dict[str, tuple[int, int, int]] = {}
+    pos = 0
+    for kind in KINDS:
+        if kind not in banks:
+            continue
+        c = banks[kind]                      # (num_frames, bins)
+        num, bins = c.shape
+        a, b = plan.halves(kind)
+        centers = (np.asarray([o for k, o in zip(plan.kinds, plan.offsets)
+                               if k == kind], dtype=np.float64)
+                   + (a + b) / 2.0)
+        tt = centers / max(plan.num_samples, 1) * 2.0 - 1.0   # time in [-1,1]
+        # physical frequency: bin k of an m-bin frame covers the same band
+        # regardless of block size, so (k+0.5)/bins is comparable across kinds
+        ff = (np.arange(bins, dtype=np.float64) + 0.5) / bins * 2.0 - 1.0
+        coords_blocks.append(np.stack(
+            [np.tile(ff, num), np.repeat(tt, bins)], axis=1))
+        target_blocks.append(c.reshape(-1))
+        bank_slices[kind] = (pos, num, bins)
+        pos += num * bins
+
+    coords = np.concatenate(coords_blocks).astype(np.float32)
+    flat = np.concatenate(target_blocks).astype(np.float32)
+    shift = 0.0
+    if takelog:
+        shift = float(np.abs(flat.min())) + 1e-8
+        flat = np.log(flat + shift)
+    mean = float(flat.mean())
+    flat = flat - mean
+    scale = float(np.max(np.abs(flat)))
+    flat = flat / scale
+
+    return FittingProblem(
+        coords=coords,
+        targets=flat.reshape(-1, 1),
+        sample_rate=sample_rate,
+        original_sample_rate=sample_rate,
+        height=len(flat),
+        width=1,
+        method="mdct",
+        decode={
+            "kind": "mdct_adaptive",
+            "n_long": n_long,
+            "n_short": n_short,
+            "takelog": takelog,
+            "shift": shift,
+            "mean": mean,
+            "scale": scale,
+            "plan_kinds": list(plan.kinds),
+            "plan_offsets": list(plan.offsets),
+            "num_samples": int(plan.num_samples),
+            "bank_slices": {k: list(v) for k, v in bank_slices.items()},
+        },
     )

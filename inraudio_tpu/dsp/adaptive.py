@@ -105,7 +105,11 @@ def detect_transients(data: np.ndarray, n_long: int = 2048,
     per_slot = env.reshape(n_slots, hop_l // hop_s)
     peak = per_slot.max(axis=1)
     mean = np.maximum(per_slot.mean(axis=1), 1e-12)
-    prev_mean = np.concatenate([[mean[0]], mean[:-1]])
+    # Slot 0 has no previous slot; seed with the global median slot energy
+    # (not slot 0's own mean, which would make a click at clip start — the
+    # canonical pre-echo case — undetectable by construction).
+    floor0 = max(float(np.median(mean)), 1e-12)
+    prev_mean = np.concatenate([[floor0], mean[:-1]])
     return peak > threshold * np.maximum(prev_mean, 1e-12)
 
 

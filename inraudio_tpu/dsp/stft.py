@@ -37,7 +37,16 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop: int, center: bool = Tru
     """Slice a 1-D signal into overlapping frames -> (num_frames, frame_length)."""
     if center:
         pad = frame_length // 2
+        if x.shape[0] <= pad:
+            raise ValueError(
+                f"signal length {x.shape[0]} too short for reflect padding: "
+                f"need > frame_length//2 = {pad} samples (torch.stft "
+                f"pad_mode='reflect' has the same requirement)")
         x = jnp.concatenate([x[1 : pad + 1][::-1], x, x[-(pad + 1) : -1][::-1]])
+    if x.shape[0] < frame_length:
+        raise ValueError(
+            f"signal length {x.shape[0]} shorter than frame_length "
+            f"{frame_length}; pad the signal or reduce n_fft")
     num_frames = 1 + (x.shape[0] - frame_length) // hop
     starts = np.arange(num_frames) * hop
     idx = starts[:, None] + np.arange(frame_length)[None, :]
@@ -87,6 +96,12 @@ def istft(
     """Inverse onesided STFT (torch.istft conventions): per-frame inverse
     real DFT as one MXU matmul, synthesis-windowed overlap-add, normalised
     by the overlapped squared-window envelope, center padding trimmed.
+
+    Divergence from torch.istft: a degenerate squared-window OLA envelope
+    (e.g. hop > n_fft leaving gaps) decodes the uncovered samples to ~0 via
+    the ``maximum(den, 1e-11)`` clamp instead of raising torch's
+    window-envelope error — this function runs inside jitted scans
+    (Griffin-Lim) where a data-dependent raise is impossible.
 
     The inverse rDFT uses the same cos/-sin bases as the forward:
     ``x = ((re * w) @ cos^T + (im * w) @ (-sin)^T) / n_fft`` with the

@@ -99,6 +99,21 @@ def decode_problem(model: INRModel, params, problem: FittingProblem,
         coords = np.asarray(encode(jnp.asarray(coords)))
     out = decode_dense(model, params, coords).reshape(problem.height,
                                                      problem.width)
+    if problem.method == "mdct" and d["kind"] == "mdct_adaptive":
+        from ..dsp.adaptive import AdaptivePlan, istmdct_adaptive
+        flat = out.reshape(-1) * d["scale"] + d["mean"] - d["shift"]
+        if d["takelog"]:
+            flat = np.exp(flat)
+        banks = {kind: jnp.asarray(
+                     flat[start:start + num * bins].reshape(num, bins),
+                     dtype=jnp.float32)
+                 for kind, (start, num, bins) in d["bank_slices"].items()}
+        plan = AdaptivePlan(n_long=d["n_long"], n_short=d["n_short"],
+                            kinds=tuple(d["plan_kinds"]),
+                            offsets=tuple(d["plan_offsets"]),
+                            num_samples=d["num_samples"])
+        wav = np.asarray(istmdct_adaptive(banks, plan))
+        return wav.astype(np.float32), problem.sample_rate
     if problem.method == "mdct":
         spec = out * d["scale"] + d["mean"] - d["shift"]
         if d["takelog"]:

@@ -55,15 +55,23 @@ def make_experiment_folder(experiment_path: str, tag: str) -> str:
 def build_problem(method: str, filename: str, duration: float,
                   decimation: int = 1, n: int = 2048, takelog: bool = False,
                   num_channels: int = 1,
-                  perceptual_mask: bool = False) -> FittingProblem:
-    """Method dispatch (run.py:44-76): wave | mdct | fft | multi."""
+                  perceptual_mask: bool = False,
+                  n_fft: int = 1024,
+                  highpass: bool = False,
+                  adaptive: bool = False) -> FittingProblem:
+    """Method dispatch (run.py:44-76): wave | mdct | fft | multi.
+
+    ``n_fft``/``highpass`` reach the fft builder (reference utils.py:242-251),
+    ``highpass``/``perceptual_mask``/``adaptive`` the mdct builder."""
     if method == "wave":
         return waveform_fitting(filename, duration, decimation)
     if method == "mdct":
         return mdct_fitting(filename, duration, n=n, takelog=takelog,
-                            perceptual_mask=perceptual_mask)
+                            highpass=highpass,
+                            perceptual_mask=perceptual_mask,
+                            adaptive=adaptive)
     if method == "fft":
-        return fft_fitting(filename, duration)
+        return fft_fitting(filename, duration, n_fft=n_fft, highpass=highpass)
     if method == "multi":
         return multi_waveform_fitting(filename, duration, num_channels)
     raise ValueError(f"unknown method {method!r}")
@@ -74,6 +82,7 @@ def build_arch(arch: str, in_features: int, hidden: int, num_sine: int,
                hidden_omega: float, a_initial: float | None,
                first_linear: bool = False,
                last_linear: bool = True,
+               scaled_first: bool = False,
                fused: bool = False,
                rff_b=None) -> INRModel:
     """Arch dispatch (run.py:92-113): 'mlp' -> SirenWithSnakeTanh recipe,
@@ -90,6 +99,7 @@ def build_arch(arch: str, in_features: int, hidden: int, num_sine: int,
             in_features=in_features, hidden_features=hidden,
             num_sine=num_sine, num_snake=num_snake, num_tanh=num_tanh,
             first_linear=first_linear, last_linear=last_linear,
+            scaled_first=scaled_first,
             first_omega_0=omega, hidden_omega_0=hidden_omega,
             a_initial=a_initial), fused=fused, approx_sin=fused,
             rff_b=rff_b)
@@ -117,10 +127,29 @@ def _run_experiment(
     hparams: dict[str, Any],
     fused: bool = False,
     profile: bool = False,
+    first_linear: bool = False,
+    last_linear: bool = True,
+    grad_clip_norm: float = 0.0,
+    plateau_factor: float = 0.8,
+    plateau_patience: int = 200,
+    multi_resolution_stft: bool = False,
+    update_grid_every: int = 0,
+    scaled_first: bool = False,
+    encoding: str = "rff",
 ) -> dict[str, Any]:
-    """Shared engine behind train/train_from_signal."""
-    # --- model + optional RFF input encoding (run.py:81-82,141-144)
-    if num_freq:
+    """Shared engine behind train/train_from_signal.
+
+    ``encoding`` selects the input featurisation when ``num_freq`` is set:
+    'rff' = Gaussian Fourier features (reference run.py:141-144), 'nerf' =
+    NeRF positional encoding with num_freq octaves (reference C11,
+    models.py:14-59 — present but unwired there)."""
+    if num_freq and encoding == "nerf":
+        from ..models import posenc_nerf, posenc_output_dim
+        in_features = posenc_output_dim(problem.in_features, num_freq)
+        encode = lambda c, L=num_freq: posenc_nerf(c, L)  # noqa: E731
+        enc_coords = np.asarray(encode(jnp.asarray(problem.coords)))
+        rff_b = None
+    elif num_freq:
         rff_b = rff_init(jax.random.fold_in(key, 1), problem.in_features,
                          num_freq, sigma=sigma)
         in_features = 2 * num_freq
@@ -140,12 +169,18 @@ def _run_experiment(
         rff_b, encode, in_features = None, None, problem.in_features
         enc_coords = problem.coords
     model = build_arch(arch, in_features, hidden, num_sine, num_snake,
-                       num_tanh, omega, hidden_omega, a_initial, fused=fused,
-                       rff_b=rff_b)
+                       num_tanh, omega, hidden_omega, a_initial,
+                       first_linear=first_linear, last_linear=last_linear,
+                       scaled_first=scaled_first, fused=fused, rff_b=rff_b)
 
     cfg = TrainConfig(total_steps=total_steps, learning_rate=learning_rate,
                       min_learning_rate=min_learning_rate,
-                      loss_mode=loss_mode, alpha=alpha, track_best=track_best)
+                      loss_mode=loss_mode, alpha=alpha, track_best=track_best,
+                      grad_clip_norm=grad_clip_norm,
+                      plateau_factor=plateau_factor,
+                      plateau_patience=plateau_patience,
+                      multi_resolution_stft=multi_resolution_stft,
+                      update_grid_every=update_grid_every)
 
     # --- warm start (run.py:84-106)
     state = None
@@ -155,9 +190,12 @@ def _run_experiment(
 
     # --- fit, streaming per-round metrics to <exp>/metrics.jsonl
     metrics = MetricsLogger(os.path.join(experiment_folder, "metrics.jsonl"))
+    # hparams live under their own key so a knob named 'event'/'t' can never
+    # clobber the record's tags
     metrics.log({"event": "config",
-                 **{kk: v for kk, v in hparams.items()
-                    if isinstance(v, (int, float, str, bool, type(None)))}})
+                 "hparams": {kk: v for kk, v in hparams.items()
+                             if isinstance(v, (int, float, str, bool,
+                                               type(None)))}})
     t0 = time.time()
     result = fit(model, enc_coords, problem.targets, cfg, key=key,
                  weight=problem.loss_weight, state=state, metrics=metrics,
@@ -280,13 +318,33 @@ def train(experiment_path: str,
           visualization: bool = False,
           track_best: bool = True,
           fused: bool = False,
-          profile: bool = False) -> str:
+          profile: bool = False,
+          num_channels: int = 1,
+          first_linear: bool = False,
+          last_linear: bool = True,
+          grad_clip_norm: float = 0.0,
+          plateau_factor: float = 0.8,
+          plateau_patience: int = 200,
+          multi_resolution_stft: bool = False,
+          n_fft: int = 1024,
+          highpass: bool = False,
+          perceptual_mask: bool = False,
+          adaptive: bool = False,
+          update_grid_every: int = 0,
+          scaled_first: bool = False,
+          encoding: str = "rff") -> str:
     """File-based experiment (reference run.py:30-400). Returns the
     checkpoint path (run.py:400) for procedural chaining.
 
     ``inst`` resolves ``data/<inst>.wav`` like the reference (run.py:33);
     ``filename`` overrides with an explicit path.  Defaults are the
-    reference runner's (run.py:30).
+    reference runner's (run.py:30), including ``num_channels`` /
+    ``first_linear`` / ``last_linear`` (run.py:30,96,113).  The training
+    knobs the headline bench depends on — ``grad_clip_norm``,
+    ``plateau_factor``/``plateau_patience``, ``multi_resolution_stft`` —
+    are exposed here so every recorded result is reproducible through this
+    surface; ``n_fft``/``highpass``/``perceptual_mask``/``adaptive`` reach
+    the fft/mdct builders.
     """
     if filename is None:
         if inst is None:
@@ -294,7 +352,9 @@ def train(experiment_path: str,
         filename = os.path.join("data", f"{inst}.wav")
     folder = make_experiment_folder(experiment_path, tag)
     problem = build_problem(method, filename, duration, decimation=decimation,
-                            n=n, takelog=takelog)
+                            n=n, takelog=takelog, num_channels=num_channels,
+                            perceptual_mask=perceptual_mask, n_fft=n_fft,
+                            highpass=highpass, adaptive=adaptive)
     ref_rate, ref = read_wav(filename, channel=0 if method in ("wave", "multi")
                              else 1)
     ref = ref[: int(duration * ref_rate)]
@@ -307,7 +367,16 @@ def train(experiment_path: str,
         num_snake=num_snake, num_tanh=num_tanh, hidden=hidden, omega=omega,
         hidden_omega=hidden_omega, a_initial=a_initial, num_freq=num_freq,
         alpha=alpha, decimation=decimation, bwe=bwe, takelog=takelog, N=n,
-        prev_ckpt_path=prev_ckpt_path, seed=seed)
+        prev_ckpt_path=prev_ckpt_path, seed=seed,
+        num_channels=num_channels, first_linear=first_linear,
+        last_linear=last_linear, grad_clip_norm=grad_clip_norm,
+        plateau_factor=plateau_factor, plateau_patience=plateau_patience,
+        multi_resolution_stft=multi_resolution_stft, n_fft=n_fft,
+        highpass=highpass, perceptual_mask=perceptual_mask,
+        adaptive=adaptive)
+    hparams["update_grid_every"] = update_grid_every
+    hparams["scaled_first"] = scaled_first
+    hparams["encoding"] = encoding
     out = _run_experiment(
         problem, folder, ref, ref_rate,
         arch=arch, hidden=hidden, num_sine=num_sine, num_snake=num_snake,
@@ -318,7 +387,13 @@ def train(experiment_path: str,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
         track_best=track_best, visualization=visualization, hparams=hparams,
-        fused=fused, profile=profile)
+        fused=fused, profile=profile,
+        first_linear=first_linear, last_linear=last_linear,
+        grad_clip_norm=grad_clip_norm, plateau_factor=plateau_factor,
+        plateau_patience=plateau_patience,
+        multi_resolution_stft=multi_resolution_stft,
+        update_grid_every=update_grid_every,
+        scaled_first=scaled_first, encoding=encoding)
     return out["ckpt"]
 
 
@@ -351,7 +426,13 @@ def train_from_signal(experiment_path: str,
                       visualization: bool = False,
                       track_best: bool = True,
                       fused: bool = False,
-                      profile: bool = False) -> dict[str, Any]:
+                      profile: bool = False,
+                      first_linear: bool = False,
+                      last_linear: bool = True,
+                      grad_clip_norm: float = 0.0,
+                      plateau_factor: float = 0.8,
+                      plateau_patience: int = 200,
+                      multi_resolution_stft: bool = False) -> dict[str, Any]:
     """In-memory experiment (reference run_experimental.py:30-327): coords
     span [-100, 100] by default (utils.py:172), the decode is de-normalised
     by the stored peak, and the residual ``input - recovered`` is returned
@@ -368,7 +449,11 @@ def train_from_signal(experiment_path: str,
         hidden=hidden, omega=omega, hidden_omega=hidden_omega,
         a_initial=a_initial, num_freq=num_freq, alpha=alpha,
         decimation=decimation, bwe=bwe, coord_scale=coord_scale,
-        prev_ckpt_path=prev_ckpt_path, seed=seed)
+        prev_ckpt_path=prev_ckpt_path, seed=seed,
+        first_linear=first_linear, last_linear=last_linear,
+        grad_clip_norm=grad_clip_norm, plateau_factor=plateau_factor,
+        plateau_patience=plateau_patience,
+        multi_resolution_stft=multi_resolution_stft)
     out = _run_experiment(
         problem, folder, np.asarray(input_signal, dtype=np.float32), input_fs,
         arch=arch, hidden=hidden, num_sine=num_sine, num_snake=num_snake,
@@ -379,5 +464,9 @@ def train_from_signal(experiment_path: str,
         bwe=bwe, prev_ckpt_path=prev_ckpt_path,
         key=jax.random.PRNGKey(seed), make_plots=make_plots,
         track_best=track_best, visualization=visualization, hparams=hparams,
-        fused=fused, profile=profile)
+        fused=fused, profile=profile,
+        first_linear=first_linear, last_linear=last_linear,
+        grad_clip_norm=grad_clip_norm, plateau_factor=plateau_factor,
+        plateau_patience=plateau_patience,
+        multi_resolution_stft=multi_resolution_stft)
     return out

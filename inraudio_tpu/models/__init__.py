@@ -18,7 +18,7 @@ from .encodings import (num_frequencies_nyquist, posenc_nerf,
                         rff_output_dim)
 from .kan import (KANConfig, b_splines, curve2coeff, kan_apply, kan_init,
                   kan_linear_apply, kan_linear_init, kan_linear_update_grid,
-                  kan_regularization_loss)
+                  kan_regularization_loss, kan_update_grid)
 from .quantize import dequantize_params, quantize_params
 from .relu import ReluMLPConfig, relu_mlp_apply, relu_mlp_init
 from .siren import (SirenConfig, SirenSnakeTanhConfig, linear_apply,
@@ -38,6 +38,10 @@ class INRModel:
     config: Any
     init: Callable[[jax.Array], Any]
     apply: Callable[[Any, jax.Array], jax.Array]
+    # Optional data-adaptive refresh hook: (params, coords) -> params.
+    # Set for KAN archs (whole-network grid update, reference kan.py:274-279);
+    # invoked between fit scan rounds when TrainConfig.update_grid_every > 0.
+    update_grid: Callable[[Any, jax.Array], Any] | None = None
 
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
@@ -63,6 +67,9 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
     """
     if arch == "mlp":
         cfg = config or SirenSnakeTanhConfig(**overrides)
+        if fused and getattr(cfg, "scaled_first", False):
+            # the fused kernel has no scaled-sine lowering; XLA path only
+            fused = False
         if fused:
             # ``interpret=True`` runs the kernels in the Pallas interpreter
             # (CPU-executable — used by the virtual-device sharding tests)
@@ -102,11 +109,13 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
                 name="kan_fused", config=cfg,
                 init=lambda key: kan_init(key, cfg),
                 apply=lambda p, c: fused_kan_apply(p, cfg, c,
-                                                   interpret=interpret))
+                                                   interpret=interpret),
+                update_grid=lambda p, c: kan_update_grid(p, cfg, c))
         return INRModel(
             name="kan", config=cfg,
             init=lambda key: kan_init(key, cfg),
-            apply=lambda p, c: kan_apply(p, cfg, c))
+            apply=lambda p, c: kan_apply(p, cfg, c),
+            update_grid=lambda p, c: kan_update_grid(p, cfg, c))
     if arch == "relu":
         cfg = config or ReluMLPConfig(**overrides)
         return INRModel(

@@ -187,6 +187,23 @@ def kan_linear_update_grid(p: Params, cfg: KANConfig, x: jax.Array,
     return new_p
 
 
+def kan_update_grid(params: Params, cfg: KANConfig, x: jax.Array) -> Params:
+    """Whole-network data-adaptive re-gridding — the reference's
+    ``KAN.forward(x, update_grid=True)`` chaining (kan.py:274-279): layer i's
+    grid is updated from the activations that actually reach it, then ``x``
+    is propagated through the UPDATED layer to feed layer i+1's update.
+
+    Host-rare (between fit scan rounds via ``TrainConfig.update_grid_every``);
+    deliberately unjitted — the sort+lstsq refit is not hot-loop code."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    new_layers = []
+    for p in params["layers"]:
+        p2 = kan_linear_update_grid(p, cfg, x)
+        new_layers.append(p2)
+        x = kan_linear_apply(p2, cfg, x)
+    return {"layers": new_layers}
+
+
 def kan_regularization_loss(params: Params,
                             regularize_activation: float = 1.0,
                             regularize_entropy: float = 1.0) -> jax.Array:

@@ -29,8 +29,16 @@ import numpy as np
 Params = Any
 
 
-def _peak_scale(l, per_leading_axis: bool, levels: float):
-    if per_leading_axis and l.ndim >= 2:
+def _peak_scale(l, per_leading_axis: bool, levels: float,
+                per_row: bool = False):
+    if per_row and l.ndim >= 3:
+        # one scale per (leading slice, output unit): reduce the middle
+        # (input) axes only — the weight column feeding one unit is the
+        # natural coherence group of an MLP, and its peak is far tighter
+        # than the whole matrix's (the int4 rate-distortion lever)
+        axes = tuple(range(1, l.ndim - 1))
+        peak = jnp.max(jnp.abs(l), axis=axes, keepdims=True)
+    elif per_leading_axis and l.ndim >= 2:
         axes = tuple(range(1, l.ndim))
         peak = jnp.max(jnp.abs(l), axis=axes, keepdims=True)
     else:
@@ -39,7 +47,8 @@ def _peak_scale(l, per_leading_axis: bool, levels: float):
 
 
 def quantize_params(params: Params, mode: str = "float16",
-                    per_leading_axis: bool = False) -> Params:
+                    per_leading_axis: bool = False,
+                    per_row: bool = False) -> Params:
     """Quantize every leaf. mode in {'float16','bfloat16','int8','int4'}.
 
     int8 leaves become dicts ``{'q': int8 array, 'scale': float32}``
@@ -53,6 +62,12 @@ def quantize_params(params: Params, mode: str = "float16",
     where per-chunk weight magnitudes differ enough that one tensor-wide
     scale destroys the reconstruction (measured: -1 dB vs >20 dB on the
     same fit).
+
+    ``per_row=True`` (int modes, rank >= 3 leaves) refines that to one
+    scale per (chunk, output unit) — k*h extra float32 scales against a
+    much tighter quantization grid; the deep-compression (int4) points
+    need it to stay audible.  Dequantize is shape-driven, so payloads mix
+    granularities freely.
     """
     if mode in ("float16", "bfloat16"):
         dt = jnp.float16 if mode == "float16" else jnp.bfloat16
@@ -60,7 +75,7 @@ def quantize_params(params: Params, mode: str = "float16",
     if mode == "int8":
         def q(l):
             l = jnp.asarray(l, jnp.float32)
-            scale = _peak_scale(l, per_leading_axis, 127.0)
+            scale = _peak_scale(l, per_leading_axis, 127.0, per_row)
             return {"q": jnp.clip(jnp.round(l / scale), -127, 127)
                     .astype(jnp.int8),
                     "scale": jnp.asarray(scale, jnp.float32)}
@@ -68,7 +83,7 @@ def quantize_params(params: Params, mode: str = "float16",
     if mode == "int4":
         def q4(l):
             l = jnp.asarray(l, jnp.float32)
-            scale = _peak_scale(l, per_leading_axis, 7.0)
+            scale = _peak_scale(l, per_leading_axis, 7.0, per_row)
             qv = jnp.clip(jnp.round(l / scale), -7.0, 7.0) + 8.0
             flat = qv.astype(jnp.uint8).reshape(-1)
             if flat.shape[0] % 2:

@@ -214,6 +214,9 @@ class SirenSnakeTanhConfig:
     num_snake: int = 2
     num_tanh: int = 0
     first_linear: bool = False
+    # first layer = ScaledSineLayer (per-neuron omega linspace, reference
+    # models.py:124-183) — the multi-band first layer, C14's capability
+    scaled_first: bool = False
     last_linear: bool = True
     first_omega_0: float = 22000.0
     hidden_omega_0: float = 30.0
@@ -221,7 +224,13 @@ class SirenSnakeTanhConfig:
 
     @property
     def layer_kinds(self) -> tuple[str, ...]:
-        kinds = ["linear_snake" if self.first_linear else "sine_first"]
+        if self.first_linear:
+            first = "linear_snake"
+        elif self.scaled_first:
+            first = "scaled_sine_first"
+        else:
+            first = "sine_first"
+        kinds = [first]
         kinds += ["sine"] * self.num_sine
         kinds += ["linear_snake"] * self.num_snake
         kinds += ["linear_tanh"] * self.num_tanh
@@ -243,6 +252,10 @@ def siren_snake_tanh_init(key: jax.Array, cfg: SirenSnakeTanhConfig) -> Params:
         if kind == "sine_first":
             layers.append(sine_layer_init(k, in_f, out_f, is_first=True,
                                           omega0=cfg.first_omega_0))
+        elif kind == "scaled_sine_first":
+            layers.append(scaled_sine_layer_init(k, in_f, out_f,
+                                                 is_first=True,
+                                                 omega0=cfg.first_omega_0))
         elif kind == "sine":
             layers.append(sine_layer_init(k, in_f, out_f,
                                           omega0=cfg.hidden_omega_0))
@@ -274,6 +287,8 @@ def siren_snake_tanh_apply(params: Params, cfg: SirenSnakeTanhConfig,
         if kind == "sine_first":
             x = sine_layer_apply(p, x, cfg.first_omega_0, jnp.float32,
                                  precision="highest")
+        elif kind == "scaled_sine_first":
+            x = scaled_sine_layer_apply(p, x, jnp.float32)
         elif kind == "sine":
             x = sine_layer_apply(p, x, cfg.hidden_omega_0, dtype)
         elif kind == "linear_snake":
@@ -295,6 +310,10 @@ def siren_snake_tanh_activations(params: Params, cfg: SirenSnakeTanhConfig,
         if kind == "sine_first":
             acts[f"layer{i}_pre"] = cfg.first_omega_0 * pre
             x = jnp.sin(cfg.first_omega_0 * pre)
+        elif kind == "scaled_sine_first":
+            scaled = jax.lax.stop_gradient(p["omega_scale"]) * pre
+            acts[f"layer{i}_pre"] = scaled
+            x = jnp.sin(scaled)
         elif kind == "sine":
             acts[f"layer{i}_pre"] = cfg.hidden_omega_0 * pre
             x = jnp.sin(cfg.hidden_omega_0 * pre)

@@ -112,11 +112,20 @@ def _kernel_dot(x, w, dims, compute_dtype):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-# Odd least-squares polynomial for sin on [-pi, pi], degree 11,
-# max abs error 3.05e-07 (~ -130 dB): fitted offline, see module tests.
+# Odd least-squares polynomials for sin on [-pi, pi] (fitted offline, see
+# module tests).  Degree 11: max abs error 3.05e-07 (~ -130 dB) — the
+# default, safe under the 124.9 dB headline.  Degree 9: 1.7e-05 (~ -95 dB)
+# and degree 7: 6.6e-04 (~ -63 dB) — cheaper VPU chains for decoding models
+# whose fit SNR sits well below the polynomial floor (quality-gate the
+# choice per model; scripts/bench_decode.py measures the trade).
 _SIN_C = (0.99999970695822715, -0.16666577198087604, 0.0083325579983740631,
           -0.00019812572237557381, 2.7040473313016951e-06,
           -2.0534080047784251e-08)
+_SIN_C9 = (0.9999845934510802, -0.16663259376823747, 0.008312388279692877,
+           -0.00019316269888602924, 2.1732569600486186e-06)
+_SIN_C7 = (0.999450173058242, -0.1658384294768091, 0.007998575320167381,
+           -0.0001477404380785241)
+_SIN_COEFFS = {11: _SIN_C, 9: _SIN_C9, 7: _SIN_C7}
 _INV_TWO_PI = 0.15915494309189535
 _HALF_PI = 1.5707963267948966
 # Cody-Waite split of 2*pi: HI is exactly representable with a 5-bit
@@ -127,8 +136,8 @@ _TWO_PI_HI = 6.28125
 _TWO_PI_LO = 1.9353071795864769e-03
 
 
-def _fast_sin(x):
-    """sin via Cody-Waite range reduction + degree-11 odd polynomial.
+def _fast_sin(x, degree: int = 11):
+    """sin via Cody-Waite range reduction + odd polynomial (default deg 11).
 
     ~12 VPU ops per element vs the ~3x costlier precise lowering; the
     decode path of a SIREN stack is transcendental-bound (measured: fp32
@@ -139,22 +148,23 @@ def _fast_sin(x):
     """
     k = jnp.round(x * _INV_TWO_PI)
     r = (x - k * _TWO_PI_HI) - k * _TWO_PI_LO
-    return _sin_poly(r)
+    return _sin_poly(r, degree)
 
 
-def _fast_cos(x):
+def _fast_cos(x, degree: int = 11):
     """cos(x) = sin(x + pi/2), with the pi/2 shift folded into the
     reduction so it is applied to the SMALL residual (adding pi/2 to a
     large x before reducing would itself lose ~|x|*2^-24 rad)."""
     k = jnp.round(x * _INV_TWO_PI + 0.25)
     r = (x - k * _TWO_PI_HI) - k * _TWO_PI_LO + _HALF_PI
-    return _sin_poly(r)
+    return _sin_poly(r, degree)
 
 
-def _sin_poly(r):
+def _sin_poly(r, degree: int = 11):
+    cs = _SIN_COEFFS[degree]
     r2 = r * r
-    p = _SIN_C[5]
-    for c in (_SIN_C[4], _SIN_C[3], _SIN_C[2], _SIN_C[1], _SIN_C[0]):
+    p = cs[-1]
+    for c in cs[-2::-1]:
         p = p * r2 + c
     return r * p
 
@@ -177,7 +187,7 @@ def _rff_features_in_kernel(x, bt, in_features, sin_fn, cos_fn):
 
 def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                   compute_dtype, compact_out=False, approx_sin=False,
-                  rff_features=0):
+                  rff_features=0, sin_poly_degree=11, mixed_matmul=False):
     """refs = [(bt?), w0, b0, (a0?), w1, b1, (a1?), ..., out_ref].
 
     ``compact_out``: the model output is scalar (out_features == 1), so
@@ -192,8 +202,11 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
     """
     out_ref = refs[-1]
     refs = refs[:-1]
-    sin_fn = _fast_sin if approx_sin else jnp.sin
-    cos_fn = _fast_cos if approx_sin else jnp.cos
+    if approx_sin:
+        sin_fn = functools.partial(_fast_sin, degree=sin_poly_degree)
+        cos_fn = functools.partial(_fast_cos, degree=sin_poly_degree)
+    else:
+        sin_fn, cos_fn = jnp.sin, jnp.cos
     bt_ref = None
     if rff_features:
         bt_ref, refs = refs[0], refs[1:]
@@ -217,8 +230,16 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
             for d in range(in_features):
                 pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
         else:
+            # mixed_matmul: non-sine layers take a single bf16 MXU pass —
+            # their error is NOT omega-amplified (sine layers' is), so the
+            # output floor stays near the uniform-precision one while the
+            # matmul passes drop from 3 to 1 on half the stack (decode-only
+            # lever; quality-gated per model in eval.decode)
+            dt = (jnp.bfloat16 if mixed_matmul
+                  and kind in ("linear_snake", "linear_tanh", "linear_last")
+                  else compute_dtype)
             pre = _kernel_dot(x, w[:], (((1,), (0,)), ((), ())),
-                              compute_dtype) + b.astype(jnp.float32)
+                              dt) + b.astype(jnp.float32)
         if kind in ("sine_first", "sine"):
             x = sin_fn(omegas[li] * pre)
         elif kind == "linear_snake":
@@ -238,11 +259,14 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
                                              "compute_dtype_name",
-                                             "interpret", "approx_sin"))
+                                             "interpret", "approx_sin",
+                                             "sin_poly_degree",
+                                             "mixed_matmul"))
 def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                      block_rows: int, compute_dtype_name: str,
                      interpret: bool, approx_sin: bool = False,
-                     bt=None):
+                     bt=None, sin_poly_degree: int = 11,
+                     mixed_matmul: bool = False):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -279,7 +303,9 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
     kernel = functools.partial(_stack_kernel, kinds=kinds, omegas=omegas,
                                in_features=d, compute_dtype=compute_dtype,
                                compact_out=compact, approx_sin=approx_sin,
-                               rff_features=rff_features)
+                               rff_features=rff_features,
+                               sin_poly_degree=sin_poly_degree,
+                               mixed_matmul=mixed_matmul)
     if compact:
         # scalar output packed (n_pad // 128, 128): exactly n_pad floats of
         # HBM write instead of a 128-lane-padded (n_pad, 128) activation
@@ -347,12 +373,18 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                       compute_dtype=jnp.float32,
                       interpret: bool = False,
                       approx_sin: bool = False,
-                      rff_b: jax.Array | None = None) -> jax.Array:
+                      rff_b: jax.Array | None = None,
+                      sin_poly_degree: int = 11,
+                      mixed_matmul: bool = False) -> jax.Array:
     """Fused full-stack forward: drop-in for siren_snake_tanh_apply.
 
     ``approx_sin=True`` swaps jnp.sin/cos for the Cody-Waite + degree-11
     polynomial pair (error ~1e-6 abs): decode is transcendental-bound, so
     this trades ~-120 dB of activation noise for a large throughput gain.
+    ``sin_poly_degree`` in {11, 9, 7} picks the polynomial (floors ~-130 /
+    -95 / -63 dB) — decode-only lever for models fit well below the floor.
+    ``mixed_matmul=True`` single-passes the NON-sine layers' matmuls in
+    bf16 (their error is not omega-amplified); quality-gate per model.
 
     ``rff_b`` (F, d): fold the Gaussian Fourier encoding into the kernel —
     ``coords`` are then the RAW coordinates and ``cfg.in_features`` must be
@@ -373,4 +405,6 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
     flat = _flatten_params(params, cfg, rff=rff_b is not None)
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
     return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret,
-                            approx_sin, bt=bt)
+                            approx_sin, bt=bt,
+                            sin_poly_degree=sin_poly_degree,
+                            mixed_matmul=mixed_matmul)

@@ -54,6 +54,15 @@ class TrainConfig:
     # Optional global-norm gradient clipping (0 = off, the reference has
     # none).  Stabilises multi-INR chunk populations at aggressive lrs.
     grad_clip_norm: float = 0.0
+    # Every N steps, call the model's data-adaptive refresh hook
+    # (INRModel.update_grid) between scan rounds — the KAN whole-network
+    # grid update (reference kan.py:274-279).  0 = never.
+    update_grid_every: int = 0
+    # Row cap for the refresh batch: kan_linear_update_grid's unreduced
+    # spline output is (batch, in, out) — full audio batches (~3e5 rows x
+    # 512 features) would need ~80 GB; an evenly-strided subsample preserves
+    # the activation distribution the adaptive grid needs.
+    update_grid_batch: int = 4096
     # Steps per jitted lax.scan dispatch. The full loop is a host loop over
     # scan chunks: on TPU the chunk is large (dispatch overhead amortised to
     # nothing); it also keeps each device executable short, which matters on
@@ -200,6 +209,7 @@ def fit(model: INRModel,
     loss_chunks, lr_chunks = [], []
     done = 0
     last_ckpt = 0
+    last_grid_update = 0
     rounds = 0
     while done < cfg.total_steps:
         n = min(chunk, cfg.total_steps - done)
@@ -215,6 +225,22 @@ def fit(model: INRModel,
         lr_chunks.append(lrh)
         done += n
         rounds += 1
+        if (cfg.update_grid_every and model.update_grid is not None
+                and done - last_grid_update >= cfg.update_grid_every
+                and done < cfg.total_steps):
+            # data-adaptive knot refresh (KAN): re-grid every layer from the
+            # activations that actually reach it, keep Adam moments (the
+            # reference's torch optimizer is likewise not reset)
+            n_rows = coords.shape[0]
+            if n_rows > cfg.update_grid_batch:
+                stride = -(-n_rows // cfg.update_grid_batch)
+                grid_x = jnp.asarray(coords[::stride])
+            else:
+                grid_x = coords_d
+            new_params = model.update_grid(state.params, grid_x)
+            state = state._replace(
+                params=jax.device_put(new_params, rep))
+            last_grid_update = done
         if metrics is not None:
             elapsed = time.time() - t0
             metrics.log({"event": "round", "step": done,

@@ -1,0 +1,79 @@
+"""Rate-distortion sweep for the deep-compression codec points.
+
+VERDICT r2 item 7: make the <=4.5 bits/sample frontier audible (>=20 dB) —
+levers: per-(chunk, output-unit) int4/int8 scales (models/quantize.py
+``per_row``), QA refit, chunk_s x hidden. Prints one line per point with
+fit SNR, decoded SNR, and on-disk bits/sample.
+
+Usage: python scripts/bench_codec_rd.py [point ...]
+points: int4 int4row int4row_refit int8_h32 int8row_h32 int4row_h64
+        (default: all)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+from inraudio_tpu.codec import (CodecConfig, compression_stats,  # noqa: E402
+                                decode, encode, save_inr)
+from inraudio_tpu.data import read_wav  # noqa: E402
+from inraudio_tpu.dsp import calculate_snr  # noqa: E402
+
+WAV = "/root/reference/gt_bach.wav"
+
+BASE = dict(chunk_seconds=0.5, hidden_features=48, first_omega_0=1800.0,
+            learning_rate=7e-4, total_steps=3000, fused=True)
+
+POINTS = {
+    # r02 shipped: 0.5s/h48/int4 per-chunk = 11.0 dB, 2.33 bps on disk
+    "int4": dict(BASE, quantize="int4"),
+    "int4row": dict(BASE, quantize="int4", per_row_scales=True),
+    "int4row_refit": dict(BASE, quantize="int4", per_row_scales=True,
+                          refit_steps=400),
+    "int8_h32": dict(BASE, hidden_features=32, quantize="int8"),
+    "int8row_h32": dict(BASE, hidden_features=32, quantize="int8",
+                        per_row_scales=True),
+    "int4row_h64": dict(BASE, hidden_features=64, quantize="int4",
+                        per_row_scales=True),
+}
+
+
+def run_point(name, sig, fs):
+    cfg = CodecConfig(**POINTS[name])
+    t0 = time.time()
+    payload = encode(sig, fs, cfg)
+    enc_t = time.time() - t0
+    with tempfile.TemporaryDirectory() as d:
+        path = save_inr(os.path.join(d, name + ".inr"), payload)
+        stats = compression_stats(payload, path)
+    _, rec = decode(payload)
+    snr = float(calculate_snr(sig, rec))
+    print(json.dumps({
+        "point": name, "snr_db": round(snr, 2),
+        "bits_per_sample": round(stats["bits_per_sample"], 2),
+        "file_bits_per_sample": round(stats["file_bits_per_sample"], 2),
+        "ratio_vs_pcm16_disk": round(stats["file_ratio_vs_pcm16"], 2),
+        "encode_s": round(enc_t, 1)}), flush=True)
+
+
+def main():
+    fs, sig = read_wav(WAV, channel=0)
+    sig = sig.astype(np.float32)
+    for name in (sys.argv[1:] or list(POINTS)):
+        run_point(name, sig, fs)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,34 @@ def run_case(name):
         msps = measure_decode(fn, (params, c), k * rows)
         print(f"{name}: {msps:.1f} Msamples/s ({k}x{rows} rows)")
         return
+    elif name == "tune256":
+        # VERDICT r3 item 2: h=256 decode levers — block_rows x sin poly
+        # degree x mixed_matmul, with output-noise SNR vs the exact XLA
+        # apply as the quality gate
+        from inraudio_tpu.ops.pallas_siren import fused_siren_apply
+        cfg = SirenSnakeTanhConfig(hidden_features=256, first_omega_0=500.0)
+        model = build_model("mlp", cfg)  # exact reference apply
+        params = model.init(key)
+        ref = jax.jit(lambda p, c: model.apply(p, c))(params, coords)
+        ref = jax.device_get(ref)
+        import numpy as np
+        for block in (1024, 2048, 4096, 8192):
+            for deg in (11, 9, 7):
+                for mixed in (False, True):
+                    fn = jax.jit(lambda p, c, b=block, d=deg, m=mixed:
+                                 fused_siren_apply(p, cfg, c, block_rows=b,
+                                                   approx_sin=True,
+                                                   sin_poly_degree=d,
+                                                   mixed_matmul=m))
+                    msps = measure_decode(fn, (params, coords), N)
+                    out = np.asarray(fn(params, coords))
+                    err = out - ref
+                    snr = 10 * np.log10(np.sum(ref ** 2)
+                                        / max(np.sum(err ** 2), 1e-30))
+                    print(f"tune256 block={block} deg={deg} "
+                          f"mixed={int(mixed)}: {msps:6.1f} Msamples/s  "
+                          f"noise-floor {snr:6.1f} dB", flush=True)
+        return
     else:
         raise SystemExit(f"unknown case {name}")
     params = model.init(key)

@@ -26,3 +26,22 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_WAV = "/root/reference/gt_bach.wav"
+
+# ---------------------------------------------------------------------------
+# fast/slow split: `pytest -m fast` is the quick gate (< ~3 min); the full
+# suite (interpret-mode Pallas kernels + e2e fits) runs in the background.
+# Slow = whole modules that interpret Pallas kernels on CPU, plus individual
+# long e2e tests marked @pytest.mark.slow in place.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+SLOW_MODULES = {"test_pallas", "test_pallas_kan", "test_pallas_train"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)

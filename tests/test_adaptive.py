@@ -80,3 +80,15 @@ def test_invalid_size_pairs_rejected():
         plan_blocks(4096, np.zeros(2, bool), n_long=2048, n_short=300)
     with pytest.raises(ValueError):
         plan_blocks(4096, np.zeros(2, bool), n_long=2047, n_short=256)
+
+
+def test_detector_flags_click_at_clip_start():
+    # ADVICE r2: slot 0 seeded its own mean as prev_mean, so an attack in
+    # the first long slot could never trip the threshold. Seeding with the
+    # global median slot energy makes the clip-start click detectable.
+    from inraudio_tpu.dsp.adaptive import detect_transients
+    rng = np.random.default_rng(0)
+    sig = 1e-3 * rng.standard_normal(2048 * 8).astype(np.float32)
+    sig[100:130] += 0.9  # click inside slot 0
+    flags = detect_transients(sig, n_long=2048, n_short=256)
+    assert flags[0]

@@ -141,3 +141,43 @@ def test_refit_respects_chunk_batching():
 
     s0, s1 = snr(rec0), snr(rec1)
     assert s1 > s0 - 1.0, (s0, s1)
+
+
+def test_per_row_scales_tighten_int4(tmp_path):
+    """VERDICT r2 item 7: per-(chunk, output-unit) int4 scales must beat the
+    per-chunk scale on reconstruction SNR and survive a file round trip."""
+    sig = _sig(0.4)
+    base = {**SMALL.__dict__, "quantize": "int4", "total_steps": 600}
+    p_chunk = encode(sig, FS, CodecConfig(**base))
+    p_row = encode(sig, FS, CodecConfig(**{**base, "per_row_scales": True}))
+
+    def snr(payload):
+        _, rec = decode(payload)
+        return 10 * np.log10(np.sum(sig ** 2)
+                             / np.sum((sig - rec) ** 2))
+
+    s_chunk, s_row = snr(p_chunk), snr(p_row)
+    assert s_row > s_chunk + 1.0, (s_chunk, s_row)
+
+    path = save_inr(str(tmp_path / "r.inr"), p_row)
+    loaded = load_inr(path)
+    _, rec = decode(loaded)
+    _, rec0 = decode(p_row)
+    np.testing.assert_allclose(rec, rec0, atol=1e-6)
+    assert loaded["meta"]["per_row_scales"] is True
+
+
+def test_quantize_per_row_scale_shapes():
+    import jax.numpy as jnp
+    from inraudio_tpu.models.quantize import (dequantize_params,
+                                              quantize_params)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 8, 4)).astype(np.float32))
+    q = quantize_params(w, "int4", per_leading_axis=True, per_row=True)
+    assert q["scale"].shape == (3, 1, 4)
+    dq = dequantize_params(q)
+    assert dq.shape == w.shape
+    # 15-level grid per (chunk, unit): error bounded by half a step
+    step = np.asarray(q["scale"])
+    assert np.max(np.abs(np.asarray(dq) - np.asarray(w))
+                  / np.maximum(step, 1e-12)) <= 0.5 + 1e-6

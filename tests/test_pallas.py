@@ -164,3 +164,34 @@ def test_kernel_dot_bf16x3_accuracy():
     assert err3 < 2e-5, err3          # ~21-bit
     assert errh < 5e-7, errh          # f32 rounding
     assert err1 > 50 * err3, (err1, err3)  # one pass is far worse
+
+
+def test_sin_poly_degree_floors():
+    """deg 9 / 7 polynomials hit their documented error floors."""
+    import jax.numpy as jnp
+    from inraudio_tpu.ops.pallas_siren import _fast_cos, _fast_sin
+    x = jnp.linspace(-2e4, 2e4, 400001)
+    for deg, bound in ((11, 2e-6), (9, 4e-5), (7, 1.5e-3)):
+        es = float(jnp.max(jnp.abs(_fast_sin(x, deg) - jnp.sin(x))))
+        ec = float(jnp.max(jnp.abs(_fast_cos(x, deg) - jnp.cos(x))))
+        assert es < bound and ec < bound, (deg, es, ec)
+
+
+def test_mixed_matmul_decode_matches_reference():
+    """mixed_matmul single-passes non-sine layers in bf16: output must stay
+    within the bf16 activation floor of the uniform-precision kernel."""
+    import jax
+    import jax.numpy as jnp
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    from inraudio_tpu.ops.pallas_siren import fused_siren_apply
+    cfg = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=64,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    p = model.init(jax.random.PRNGKey(0))
+    coords = jnp.linspace(-1, 1, 512).reshape(-1, 1)
+    ref = model.apply(p, coords)
+    out = fused_siren_apply(p, cfg, coords, block_rows=512,
+                            interpret=True, mixed_matmul=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 2e-2 * max(scale, 1e-3), err
