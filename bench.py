@@ -206,7 +206,13 @@ def bench_multi() -> float:
     k = chunks.shape[0]
     scales = np.maximum(np.max(np.abs(chunks), axis=1), 1e-9)
     targets = jnp.asarray((chunks / scales[:, None])[..., None])
-    coords = jnp.asarray(get_coord(n, dim=1))
+    # coords stays a HOST numpy array: it is closed over into jit(run), and a
+    # closed-over *device* array becomes an MLIR constant whose value must be
+    # fetched device->host at LOWERING time — on the axon tunnel that fetch
+    # queues behind all pending device work and was the entire "218 s cold
+    # compile" of round 2 (the real XLA compile is ~2 s).  A host constant
+    # embeds instantly.
+    coords = np.asarray(get_coord(n, dim=1), np.float32)
     log(f"{k} chunks x {n} samples, model h={model_cfg.hidden_features} "
         f"omega0={model_cfg.first_omega_0}")
 
@@ -227,8 +233,8 @@ def bench_multi() -> float:
     # round, ~40 ms) — reports time-to-40dB, the BASELINE.md secondary metric
     track_snr = os.environ.get("BENCH_TRACK_SNR", "0") == "1"
     if track_snr:
-        sig_d = jnp.asarray(signal)
-        scales_d = jnp.asarray(scales)
+        sig_d = np.asarray(signal, np.float32)   # host consts (see coords)
+        scales_d = np.asarray(scales, np.float32)
 
         # rough stitch: ignore crossfade, take each chunk's first `hop`
         # samples — good to ~1 dB, enough for the time-to-40dB marker.
@@ -248,12 +254,15 @@ def bench_multi() -> float:
     # optimization step — no warmup progress leaks into the headline
     t_setup = time.time()
     states, h = run(states, targets)
-    jax.block_until_ready(h)
+    # REAL device->host fetch: on the axon tunnel block_until_ready returns
+    # before remote compile+execution finish, so without this the first
+    # timed round silently absorbs the whole compile (train/loop.py:232-237)
+    _ = np.asarray(h[-1])
     if track_snr:
         _ = float(quick_snr(states))  # compile outside the budget too
     keys = jax.random.split(jax.random.PRNGKey(1), k)
     states = jax.vmap(lambda kk: init_train_state(model, kk, tc))(keys)
-    jax.block_until_ready(states.params)
+    _ = np.asarray(jax.tree_util.tree_leaves(states.params)[0])
     log(f"compile: {time.time() - t_setup:.1f}s "
         "(states re-initialized; budget contains all training steps)")
 
@@ -267,7 +276,9 @@ def bench_multi() -> float:
     snap_states, snap_steps, snap_t = None, 0, 0.0
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
         states, h = run(states, targets)
-        jax.block_until_ready(h)
+        # fetch BEFORE reading the clock: this is the real round boundary
+        # (axon block_until_ready returns early; np.asarray does not)
+        worst = float(np.max(np.asarray(h[-1])))
         steps += ROUND_STEPS
         t_now = time.time() - t0
         if t_now <= BUDGET_S:
@@ -279,7 +290,6 @@ def bench_multi() -> float:
             if t40 is None and s_now >= TARGET_DB:
                 t40 = time.time() - t0
             extra = f" snr~{s_now:6.2f} dB"
-        worst = float(np.max(np.asarray(h[-1])))
         _metrics().log({"event": "round", "mode": "multi", "step": steps,
                      "worst_chunk_loss": worst,
                      "elapsed_s": round(time.time() - t0, 3),

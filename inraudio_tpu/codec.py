@@ -111,34 +111,36 @@ def _refit_trainable(model, params: Any, mode: str, targets: np.ndarray,
     q = quantize_inr_params(params, mode, per_row=per_row)
     dq = dequantize_inr_params(q)
     n_layers = len(dq["layers"])
-    frozen_ws = [jnp.asarray(dq["layers"][li]["w"])
-                 for li in range(1, n_layers)]
+    # frozen weights / data enter jit as ARGUMENTS: closed-over device arrays
+    # become MLIR constants fetched device->host at lowering (slow on the axon
+    # tunnel), and frozen_ws alone is ~100 MB at production shapes — far too
+    # big to embed in the lowered module.
+    frozen_ws = tuple(jnp.asarray(dq["layers"][li]["w"])
+                      for li in range(1, n_layers))
     trainable = {"layers": [
         {k: jnp.asarray(v) for k, v in layer.items()
          if not (li > 0 and k == "w")}
         for li, layer in enumerate(dq["layers"])]}
 
-    def merge(tr):
+    def merge(tr, frozen):
         layers = []
         for li, layer in enumerate(tr["layers"]):
             full = dict(layer)
             if li > 0:
-                full["w"] = frozen_ws[li - 1]
+                full["w"] = frozen[li - 1]
             layers.append(full)
         return {"layers": layers}
 
     adam_cfg = AdamConfig(lr=lr)
     opt = adam_init(trainable, adam_cfg)
-    targets_j = jnp.asarray(targets)
-    coords_j = jnp.asarray(coords)
 
     @jax.jit
-    def run(tr, opt):
+    def run(tr, opt, frozen, coords_j, targets_j):
         def step(carry, _):
             tr, opt = carry
 
             def loss_fn(tr):
-                full = merge(tr)
+                full = merge(tr, frozen)
                 pred = jax.vmap(model.apply, in_axes=(0, None))(full,
                                                                 coords_j)
                 return jnp.mean((pred - targets_j) ** 2)
@@ -149,7 +151,8 @@ def _refit_trainable(model, params: Any, mode: str, targets: np.ndarray,
         (tr, opt), losses = jax.lax.scan(step, (tr, opt), None,
                                          length=steps)
         return tr, losses
-    trainable, _ = run(trainable, opt)
+    trainable, _ = run(trainable, opt, frozen_ws, jnp.asarray(coords),
+                       jnp.asarray(targets))
     return jax.tree.map(np.asarray, trainable)
 
 
@@ -306,15 +309,14 @@ def decode(payload: dict[str, Any], fused: bool = False,
     u = max(1, int(upsample))
     n0 = meta["chunk_length"]
     if u == 1:
-        coords = jnp.asarray(get_coord(n0, dim=1))
+        coords = np.asarray(get_coord(n0, dim=1), np.float32)  # host const
     else:
         # subdivide the TRAINING grid (step 2/(n0-1)) u times so every u-th
         # decode sample sits exactly on a training coordinate;
         # get_coord(n0*u) would time-stretch each chunk by u*(n0-1)/(n0*u-1)
         # and add phase mismatch in the crossfade overlaps
         j = np.arange(n0 * u, dtype=np.float64)
-        coords = jnp.asarray(
-            (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32))
+        coords = (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32)
     hop = meta["hop"] * u
     fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     outs = batched_chunk_eval(fn, params, meta["num_chunks"],

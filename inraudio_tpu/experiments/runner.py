@@ -237,10 +237,12 @@ def _run_experiment(
         # loss-landscape random plane (reference run.py:192-208) — on device
         from ..train.losses import mix_loss as _mix
         from ..utils.landscape import plot_landscape, random_plane
-        coords_j = jnp.asarray(enc_coords)
-        targets_j = jnp.asarray(problem.targets)
+        # host constants: closed-over device arrays would be fetched
+        # device->host during jit lowering (axon tunnel: slow + serialized)
+        coords_h = np.asarray(enc_coords, np.float32)
+        targets_h = np.asarray(problem.targets, np.float32)
         surface = random_plane(
-            lambda p: _mix(model.apply(p, coords_j), targets_j,
+            lambda p: _mix(model.apply(p, coords_h), targets_h,
                            loss_mode=loss_mode),
             result.params, jax.random.fold_in(key, 2))
         plot_landscape(surface,
@@ -432,7 +434,10 @@ def train_from_signal(experiment_path: str,
                       grad_clip_norm: float = 0.0,
                       plateau_factor: float = 0.8,
                       plateau_patience: int = 200,
-                      multi_resolution_stft: bool = False) -> dict[str, Any]:
+                      multi_resolution_stft: bool = False,
+                      update_grid_every: int = 0,
+                      scaled_first: bool = False,
+                      encoding: str = "rff") -> dict[str, Any]:
     """In-memory experiment (reference run_experimental.py:30-327): coords
     span [-100, 100] by default (utils.py:172), the decode is de-normalised
     by the stored peak, and the residual ``input - recovered`` is returned
@@ -453,7 +458,9 @@ def train_from_signal(experiment_path: str,
         first_linear=first_linear, last_linear=last_linear,
         grad_clip_norm=grad_clip_norm, plateau_factor=plateau_factor,
         plateau_patience=plateau_patience,
-        multi_resolution_stft=multi_resolution_stft)
+        multi_resolution_stft=multi_resolution_stft,
+        update_grid_every=update_grid_every, scaled_first=scaled_first,
+        encoding=encoding)
     out = _run_experiment(
         problem, folder, np.asarray(input_signal, dtype=np.float32), input_fs,
         arch=arch, hidden=hidden, num_sine=num_sine, num_snake=num_snake,
@@ -468,5 +475,7 @@ def train_from_signal(experiment_path: str,
         first_linear=first_linear, last_linear=last_linear,
         grad_clip_norm=grad_clip_norm, plateau_factor=plateau_factor,
         plateau_patience=plateau_patience,
-        multi_resolution_stft=multi_resolution_stft)
+        multi_resolution_stft=multi_resolution_stft,
+        update_grid_every=update_grid_every,
+        scaled_first=scaled_first, encoding=encoding)
     return out

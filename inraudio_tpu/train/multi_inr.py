@@ -222,7 +222,12 @@ def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
         targets = np.concatenate(
             [targets, np.zeros((k_pad, n, 1), dtype=np.float32)], axis=0)
     k_total = k + k_pad
-    coords = jnp.asarray(get_coord(n, dim=1))
+    # HOST constant on purpose: coords is closed over into jit(run) below, and
+    # a closed-over device array becomes an MLIR constant whose value is
+    # fetched device->host during lowering — through the axon tunnel that
+    # fetch serializes behind pending device work (the round-2 "218 s
+    # compile").  A numpy constant embeds from host memory instantly.
+    coords = np.asarray(get_coord(n, dim=1), np.float32)
     keys = jax.random.split(key, k_total)
     states = jax.vmap(lambda kk: init_train_state(model, kk, train_cfg))(keys)
 
@@ -325,7 +330,7 @@ def multi_inr_decode(model: INRModel, result: MultiINRResult,
     batches (device memory bounded for long clips; same knob as
     ``multi_inr_fit``)."""
     n, hop, k = result.chunk_length, result.hop, result.num_chunks
-    coords = jnp.asarray(get_coord(n, dim=1))
+    coords = np.asarray(get_coord(n, dim=1), np.float32)  # host const (see multi_inr_fit)
     params = (result.states.best_params if track_best
               else result.states.params)
     fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))

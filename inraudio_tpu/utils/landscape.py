@@ -61,13 +61,18 @@ def random_plane(loss_fn: Callable[[Any], jax.Array], params: Any,
     alphas = jnp.linspace(-0.5, 0.5, steps) * distance
     betas = jnp.linspace(-0.5, 0.5, steps) * distance
 
-    def at(alpha, beta):
+    # params/d1/d2 enter as jit ARGUMENTS, not closure captures: a closed-over
+    # device array is embedded as an MLIR constant whose value is fetched
+    # device->host at lowering time (slow and serialized behind pending work
+    # on the axon tunnel), and would also bloat the lowered module by the
+    # full parameter size per plane batch.
+    def at(params, d1, d2, alpha, beta):
         p = jax.tree.map(lambda p0, a, b: p0 + alpha * a + beta * b,
                          params, d1, d2)
         return loss_fn(p)
 
     m = max(1, min(points_per_batch, steps))
-    batch = jax.jit(jax.vmap(at, in_axes=(0, 0)))
+    batch = jax.jit(jax.vmap(at, in_axes=(None, None, None, 0, 0)))
     aa, bb = np.meshgrid(np.asarray(alphas), np.asarray(betas),
                          indexing="ij")
     flat_a = jnp.asarray(aa.reshape(-1))
@@ -77,7 +82,7 @@ def random_plane(loss_fn: Callable[[Any], jax.Array], params: Any,
     if pad:  # keep one compiled shape for every batch
         flat_a = jnp.concatenate([flat_a, jnp.zeros(pad, flat_a.dtype)])
         flat_b = jnp.concatenate([flat_b, jnp.zeros(pad, flat_b.dtype)])
-    vals = [np.asarray(batch(flat_a[s:s + m], flat_b[s:s + m]))
+    vals = [np.asarray(batch(params, d1, d2, flat_a[s:s + m], flat_b[s:s + m]))
             for s in range(0, total + pad, m)]
     return np.concatenate(vals)[:total].reshape(steps, steps)
 

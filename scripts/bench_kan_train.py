@@ -49,8 +49,8 @@ def measure(model, coords, targets):
 def main():
     hiddens = [int(a) for a in sys.argv[1:]] or [128, 256]
     prob = waveform_fitting("/root/reference/gt_bach.wav", duration=7)
-    coords = jnp.asarray(prob.coords)
-    targets = jnp.asarray(prob.targets)
+    coords = np.asarray(prob.coords, np.float32)   # host consts: device
+    targets = np.asarray(prob.targets, np.float32)  # captures fetch at lowering
     print(f"rows={coords.shape[0]}")
     for h in hiddens:
         cfg = KANConfig(layers_hidden=(1, h, h, 1))

@@ -106,7 +106,8 @@ def main():
     k = chunks.shape[0]
     scales = np.maximum(np.max(np.abs(chunks), axis=1), 1e-9)
     targets = jnp.asarray((chunks / scales[:, None])[..., None])
-    coords = jnp.asarray(get_coord(n, dim=1))
+    # host const: device closure captures are fetched at lowering (axon)
+    coords = np.asarray(get_coord(n, dim=1), np.float32)
     cfg128 = SirenSnakeTanhConfig(first_omega_0=115.0, hidden_features=128)
     model = build_model("mlp", cfg128, fused=True, approx_sin=True)
     tc = TrainConfig(total_steps=10**6, scan_chunk=args.steps,
