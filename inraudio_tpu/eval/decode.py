@@ -24,19 +24,30 @@ from ..models import INRModel
 
 
 def decode_dense(model: INRModel, params, coords: np.ndarray,
-                 chunk: int = 1 << 20) -> np.ndarray:
+                 chunk: int = 1 << 20,
+                 fit_snr_db: float | None = None) -> np.ndarray:
     """Evaluate model over (n, d) coords in device-sized chunks -> (n, 1).
 
     Chunking keeps peak activation memory bounded for minute-scale grids
     (each chunk is (chunk, hidden) through ~5 layers); one jitted call is
     reused across chunks (static shapes — the tail chunk is padded).
+
+    ``fit_snr_db``: the model's own fit quality.  When given and the model
+    carries a quality-gated inference path (fused mlp), decode routes
+    through the fastest fused tier whose measured noise floor clears it
+    (auto_decode_kwargs — e.g. the reference-default h=256 model fits at
+    33.6 dB and decodes via the bf16 + deg-7-sin tier at 102 Msamples/s,
+    1.7x the training-apply path, adding < 0.5 dB of error).
     """
+    if fit_snr_db is not None and model.decode_apply is not None:
+        def apply_c(p, c, _s=float(fit_snr_db)):
+            # decode_apply dispatches to the internally-jitted fused kernel
+            return model.decode_apply(p, c, _s)
+    else:
+        apply_c = jax.jit(model.apply)
     n = coords.shape[0]
     if n <= chunk:
-        out = jax.jit(model.apply)(params, jnp.asarray(coords))
-        return np.asarray(out)
-
-    apply_c = jax.jit(model.apply)
+        return np.asarray(apply_c(params, jnp.asarray(coords)))
     outs = []
     for start in range(0, n, chunk):
         block = coords[start:start + chunk]
@@ -59,7 +70,8 @@ def bwe_coords(problem: FittingProblem, coord_scale: float = 1.0) -> np.ndarray:
 
 
 def decode_problem(model: INRModel, params, problem: FittingProblem,
-                   bwe: bool = False, encode=None) -> tuple[np.ndarray, int]:
+                   bwe: bool = False, encode=None,
+                   fit_snr_db: float | None = None) -> tuple[np.ndarray, int]:
     """Decode a fitted problem -> (waveform_or_matrix, sample_rate).
 
     - wave/multi: network output de-normalised by the stored peak
@@ -71,7 +83,8 @@ def decode_problem(model: INRModel, params, problem: FittingProblem,
       reference never wires an FFT-domain decode, utils.py:233-310; here
       the magnitude target decodes to an audible waveform).
     ``encode`` optionally maps raw coords -> features (RFF/posenc), matching
-    how the model was trained (run.py:141-144).
+    how the model was trained (run.py:141-144).  ``fit_snr_db`` routes the
+    dense evaluation through the quality-gated fused tier (decode_dense).
     """
     d = problem.decode
     if problem.method in ("wave", "multi"):
@@ -90,15 +103,16 @@ def decode_problem(model: INRModel, params, problem: FittingProblem,
             rate = problem.sample_rate
         if encode is not None:
             coords = np.asarray(encode(jnp.asarray(coords)))
-        out = decode_dense(model, params, coords)
+        out = decode_dense(model, params, coords, fit_snr_db=fit_snr_db)
         wav = out.reshape(-1) * d.get("peak", 1.0)
         return wav.astype(np.float32), rate
 
     coords = problem.coords
     if encode is not None:
         coords = np.asarray(encode(jnp.asarray(coords)))
-    out = decode_dense(model, params, coords).reshape(problem.height,
-                                                     problem.width)
+    out = decode_dense(model, params, coords,
+                       fit_snr_db=fit_snr_db).reshape(problem.height,
+                                                      problem.width)
     if problem.method == "mdct" and d["kind"] == "mdct_adaptive":
         from ..dsp.adaptive import AdaptivePlan, istmdct_adaptive
         flat = out.reshape(-1) * d["scale"] + d["mean"] - d["shift"]

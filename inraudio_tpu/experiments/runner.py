@@ -204,8 +204,19 @@ def _run_experiment(
     train_time = time.time() - t0
 
     # --- decode (+ BWE), de-normalise, write wav (run.py:249-296)
+    # MSE fits carry their own quality estimate (signal power / best MSE):
+    # it gates the fused decode tier (sin polynomial degree / matmul
+    # precision) so dense decode runs at the fastest speed that cannot
+    # audibly degrade THIS model's reconstruction (auto_decode_kwargs).
+    fit_snr_est = None
+    if loss_mode == "mse" and np.isfinite(result.best_loss) \
+            and result.best_loss > 0:
+        sig_pow = float(np.mean(np.square(problem.targets)))
+        if sig_pow > 0:
+            fit_snr_est = 10.0 * float(np.log10(sig_pow / result.best_loss))
     recovered, out_rate = decode_problem(model, result.params, problem,
-                                         bwe=bwe, encode=encode)
+                                         bwe=bwe, encode=encode,
+                                         fit_snr_db=fit_snr_est)
     wav_path = os.path.join(experiment_folder, "output.wav")
     write_wav(wav_path, out_rate, recovered)
 

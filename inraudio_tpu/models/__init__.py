@@ -42,6 +42,13 @@ class INRModel:
     # Set for KAN archs (whole-network grid update, reference kan.py:274-279);
     # invoked between fit scan rounds when TrainConfig.update_grid_every > 0.
     update_grid: Callable[[Any, jax.Array], Any] | None = None
+    # Optional quality-gated inference path: (params, coords, fit_snr_db)
+    # -> out.  Set by the fused mlp branch: picks the fastest fused-decode
+    # tier (sin polynomial degree / matmul precision) whose measured noise
+    # floor clears the model's own fit SNR by a safety margin
+    # (ops/pallas_siren.auto_decode_kwargs), so decode adds <~0.5 dB of
+    # reconstruction loss.  None = decode through ``apply``.
+    decode_apply: Callable[[Any, jax.Array, float], jax.Array] | None = None
 
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
@@ -73,15 +80,24 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
         if fused:
             # ``interpret=True`` runs the kernels in the Pallas interpreter
             # (CPU-executable — used by the virtual-device sharding tests)
+            from ..ops.pallas_siren import (auto_decode_kwargs,
+                                            fused_siren_apply)
             from ..ops.pallas_siren_train import fused_siren_train_apply
             name = ("siren_snake_tanh_fused_rff" if rff_b is not None
                     else "siren_snake_tanh_fused")
+
+            def _decode(p, c, fit_snr_db, _cfg=cfg, _rff=rff_b):
+                kw = auto_decode_kwargs(fit_snr_db)
+                return fused_siren_apply(p, _cfg, c, interpret=interpret,
+                                         rff_b=_rff, **kw)
+
             return INRModel(
                 name=name, config=cfg,
                 init=lambda key: siren_snake_tanh_init(key, cfg),
                 apply=lambda p, c: fused_siren_train_apply(
                     p, cfg, c, approx_sin=approx_sin, interpret=interpret,
-                    rff_b=rff_b))
+                    rff_b=rff_b),
+                decode_apply=_decode)
         if rff_b is not None:
             return INRModel(
                 name="siren_snake_tanh_rff", config=cfg,

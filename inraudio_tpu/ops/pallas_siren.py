@@ -261,12 +261,12 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                                              "compute_dtype_name",
                                              "interpret", "approx_sin",
                                              "sin_poly_degree",
-                                             "mixed_matmul"))
+                                             "mixed_matmul", "packed_out"))
 def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                      block_rows: int, compute_dtype_name: str,
                      interpret: bool, approx_sin: bool = False,
                      bt=None, sin_poly_degree: int = 11,
-                     mixed_matmul: bool = False):
+                     mixed_matmul: bool = False, packed_out: bool = False):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -318,6 +318,12 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(coords_p, *operands)
+        if packed_out:
+            # raw (n_pad // 128, 128) kernel output: the device-side
+            # reshape-to-(n, 1) forces XLA to materialise a relayout copy
+            # (measured 2.3 ms vs a 1.55 ms kernel on the vmapped headline
+            # decode) — packed consumers reshape on the HOST instead
+            return out
         return out.reshape(n_pad, 1)[:n]
     out_f = 128  # lane-padded fallback (vector outputs)
     out = pl.pallas_call(
@@ -375,7 +381,8 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                       approx_sin: bool = False,
                       rff_b: jax.Array | None = None,
                       sin_poly_degree: int = 11,
-                      mixed_matmul: bool = False) -> jax.Array:
+                      mixed_matmul: bool = False,
+                      packed_out: bool = False) -> jax.Array:
     """Fused full-stack forward: drop-in for siren_snake_tanh_apply.
 
     ``approx_sin=True`` swaps jnp.sin/cos for the Cody-Waite + degree-11
@@ -389,6 +396,12 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
     ``rff_b`` (F, d): fold the Gaussian Fourier encoding into the kernel —
     ``coords`` are then the RAW coordinates and ``cfg.in_features`` must be
     2F (drop-in for ``model.apply(params, rff_apply(rff_b, coords))``).
+
+    ``packed_out=True`` (scalar-output models, block_rows % 1024 == 0):
+    return the kernel's raw lane-packed ``(ceil(n/128)... , 128)`` block and
+    let the caller reshape on the HOST — skips a device relayout copy that
+    costs more than the kernel itself on the vmapped multi-INR decode.
+    Reshape with ``out.reshape(-1)[:n]``.
     """
     if rff_b is None and cfg.in_features > _MAX_SMALL_IN:
         raise ValueError(
@@ -402,9 +415,60 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                 f"({2 * rff_b.shape[0]})")
         bt = _prep_rff_bt(rff_b)
     block_rows = _pick_block_rows(coords.shape[0], block_rows)
+    if packed_out and block_rows % 1024:
+        # packed output needs the compact (8, 128)-tile layout: round the
+        # cost-model pick up to the nearest 1024-multiple
+        block_rows = _round_up(max(block_rows, 1024), 1024)
     flat = _flatten_params(params, cfg, rff=rff_b is not None)
     name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    if packed_out and cfg.out_features != 1:
+        raise ValueError("packed_out requires a scalar-output model "
+                         "(the compact kernel path)")
     return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret,
                             approx_sin, bt=bt,
                             sin_poly_degree=sin_poly_degree,
-                            mixed_matmul=mixed_matmul)
+                            mixed_matmul=mixed_matmul, packed_out=packed_out)
+
+
+# Decode-noise floors of each fused-decode configuration, measured against
+# the exact-sin f32 apply on TRAINED production models (results_parity
+# checkpoints, h=256; scripts/bench_decode.py tune256 for the random-param
+# floors).  Trained-model floors are LOWER than random-param ones (trained
+# activations are larger), so these are the binding numbers:
+#   bf16 matmuls + deg-7 sin  : ~43 dB   (102 Msamples/s at h=256, 1M rows)
+#   f32 bf16x3 + deg-7 + mixed: ~50 dB   ( 82 Msamples/s)
+#   f32 + deg-9 polynomial    : ~90 dB
+#   f32 + deg-11 polynomial   : ~120 dB  (the 124.9 dB headline decodes here)
+_DECODE_TIERS = (
+    (43.0, dict(approx_sin=True, sin_poly_degree=7,
+                compute_dtype="bfloat16")),
+    (50.0, dict(approx_sin=True, sin_poly_degree=7, mixed_matmul=True)),
+    (90.0, dict(approx_sin=True, sin_poly_degree=9)),
+    # the 124.5 dB headline decodes through deg-11 with NO measurable drop
+    # (BENCH_r03: decode SNR == fit SNR to 0.01 dB), so its trained floor
+    # is >= ~134 dB
+    (134.0, dict(approx_sin=True, sin_poly_degree=11)),
+)
+
+
+def auto_decode_kwargs(fit_snr_db: float,
+                       margin_db: float = 9.0) -> dict[str, Any]:
+    """Quality-gated decode configuration for ``fused_siren_apply``.
+
+    Picks the FASTEST fused-decode tier whose measured noise floor sits at
+    least ``margin_db`` above the model's own fit SNR, so the decode adds
+    <~0.5 dB of reconstruction loss.  The reference's production h=256
+    default fits at 33.6 dB (BASELINE.md parity row) and lands on the bf16
+    tier: 102 Msamples/s at h=256 — decode noise 10 dB under the model's
+    own error.  High-fidelity multi-INR fits (>111 dB) fall through to the
+    exact-sin path.  ``compute_dtype`` is returned as a string for easy
+    jit-static use; resolve with ``jnp.dtype`` if needed.
+    """
+    need = fit_snr_db + margin_db
+    for floor, kw in _DECODE_TIERS:
+        if need <= floor:
+            kw = dict(kw)
+            if kw.get("compute_dtype") == "bfloat16":
+                kw["compute_dtype"] = jnp.bfloat16
+            return kw
+    return dict(approx_sin=False)

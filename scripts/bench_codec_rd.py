@@ -47,6 +47,17 @@ POINTS = {
                         per_row_scales=True),
     "int4row_h64": dict(BASE, hidden_features=64, quantize="int4",
                         per_row_scales=True),
+    # r3 sweep finding: int8 at reduced width strictly dominates int4 at
+    # larger width on this frontier (int8_h32 = 18.9 dB @ 2.1 bps vs
+    # int4row_h64 = 16.9 dB @ 4.5 bps) — int4's 15-level grid wastes the
+    # bit budget that buys more SNR as quantization levels.  Fill the
+    # 2.5-3.5 bps gap with int8 width steps (+ QA refit):
+    "int8_h36": dict(BASE, hidden_features=36, quantize="int8"),
+    "int8_h40": dict(BASE, hidden_features=40, quantize="int8"),
+    "int8_h40_refit": dict(BASE, hidden_features=40, quantize="int8",
+                           refit_steps=400),
+    "int8_h32_refit": dict(BASE, hidden_features=32, quantize="int8",
+                           refit_steps=400),
 }
 
 

@@ -55,38 +55,51 @@ def trace_block(outdir, fn, *args, reps=1):
     return out
 
 
-def analyze(outdir: str) -> dict:
-    """Extract busy fractions from the xplane trace via the tensorboard
-    profile plugin converters (best effort across plugin versions)."""
+def analyze(outdir: str, top: int = 10) -> dict:
+    """Per-op device-time breakdown straight from the xplane proto.
+
+    The tensorboard profile-plugin converters are broken in this image
+    (protobuf/pywrap version skew), so parse the XSpace directly: the
+    '/device:TPU:0' plane's 'XLA Ops' line carries one event per executed
+    HLO op with device durations.  Aggregating self-time by op name gives
+    the kernel-vs-XLA split (the inside of a Pallas custom call is opaque
+    to the trace — its duration is the whole-kernel figure)."""
+    import collections
     planes = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
                               recursive=True))
     if not planes:
         return {"error": f"no xplane under {outdir}"}
-    res = {"xplane": planes[-1]}
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except Exception as e:  # pragma: no cover
-        res["error"] = f"no converter: {e}"
-        return res
-    for tool in ("op_profile", "overview_page", "framework_op_stats"):
-        for name in (tool, tool + "^"):
-            try:
-                data = raw_to_tool_data.xspace_to_tool_data(
-                    [planes[-1]], name, {})
-                if isinstance(data, tuple):
-                    data = data[0]
-                path = os.path.join(outdir, f"{tool}.json")
-                with open(path, "w") as f:
-                    if isinstance(data, (bytes, bytearray)):
-                        f.write(data.decode("utf-8", "replace"))
-                    else:
-                        f.write(data if isinstance(data, str)
-                                else json.dumps(data))
-                res[tool] = path
-                break
-            except Exception as e:
-                res.setdefault("convert_errors", []).append(
-                    f"{name}: {type(e).__name__}: {e}")
+        return {"error": f"no xplane proto: {e}", "xplane": planes[-1]}
+    xs = xplane_pb2.XSpace()
+    with open(planes[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    res: dict = {"xplane": planes[-1]}
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        em = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg: collections.Counter = collections.Counter()
+            cnt: collections.Counter = collections.Counter()
+            t0 = min(e.offset_ps for e in line.events)
+            t1 = max(e.offset_ps + e.duration_ps for e in line.events)
+            for e in line.events:
+                name = em[e.metadata_id].split(" = ")[0].lstrip("%")
+                agg[name] += e.duration_ps / 1e12
+                cnt[name] += 1
+            res["span_s"] = round((t1 - t0) / 1e12, 6)
+            res["ops"] = [
+                {"op": n, "device_s": round(d, 6), "count": cnt[n]}
+                for n, d in agg.most_common(top)]
+    path = os.path.join(outdir, "op_times.json")
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    res["json"] = path
     return res
 
 

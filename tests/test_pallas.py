@@ -195,3 +195,87 @@ def test_mixed_matmul_decode_matches_reference():
     scale = float(jnp.max(jnp.abs(ref)))
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err < 2e-2 * max(scale, 1e-3), err
+
+
+def test_packed_out_matches_reshaped():
+    """packed_out returns the raw (n_pad // 128, 128) kernel block; host
+    reshape must reproduce the standard (n, 1) output exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    from inraudio_tpu.ops.pallas_siren import fused_siren_apply
+    cfg = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=64,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    p = model.init(jax.random.PRNGKey(0))
+    n = 1500  # pads to 2048 rows
+    coords = jnp.linspace(-1, 1, n).reshape(-1, 1)
+    ref = np.asarray(fused_siren_apply(p, cfg, coords, block_rows=1024,
+                                       interpret=True))
+    packed = np.asarray(fused_siren_apply(p, cfg, coords, block_rows=1024,
+                                          interpret=True, packed_out=True))
+    assert packed.shape == (2048 // 128, 128)
+    np.testing.assert_array_equal(packed.reshape(-1)[:n], ref[:, 0])
+
+
+def test_packed_out_rounds_small_blocks_to_compact():
+    """A sub-1024 tile request under packed_out is rounded up to the compact
+    layout instead of failing (the cost-model pick may be non-compact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    from inraudio_tpu.ops.pallas_siren import fused_siren_apply
+    cfg = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=64,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    p = model.init(jax.random.PRNGKey(0))
+    n = 256
+    coords = jnp.linspace(-1, 1, n).reshape(-1, 1)
+    ref = np.asarray(fused_siren_apply(p, cfg, coords, block_rows=256,
+                                       interpret=True))
+    packed = np.asarray(fused_siren_apply(p, cfg, coords, block_rows=512,
+                                          interpret=True, packed_out=True))
+    assert packed.shape == (1024 // 128, 128)  # rounded up to one 1024 tile
+    np.testing.assert_allclose(packed.reshape(-1)[:n], ref[:, 0], atol=1e-6)
+
+
+def test_auto_decode_kwargs_tiers():
+    """The quality gate picks the fastest tier whose measured floor clears
+    fit SNR + margin, and falls back to exact sin at headline fidelity."""
+    import jax.numpy as jnp
+    from inraudio_tpu.ops.pallas_siren import auto_decode_kwargs
+    assert auto_decode_kwargs(33.6)["compute_dtype"] == jnp.bfloat16
+    kw = auto_decode_kwargs(39.0)
+    assert kw.get("mixed_matmul") and kw["sin_poly_degree"] == 7
+    assert auto_decode_kwargs(60.0)["sin_poly_degree"] == 9
+    assert auto_decode_kwargs(124.9)["sin_poly_degree"] == 11
+    assert auto_decode_kwargs(130.0) == {"approx_sin": False}
+
+
+def test_decode_dense_quality_gate_routes_through_tier():
+    """decode_dense(fit_snr_db=...) routes a fused model through the
+    quality-gated tier: output matches the exact apply within the tier's
+    noise floor, and None keeps the training-apply path bit-exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from inraudio_tpu.eval.decode import decode_dense
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    cfg = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=64,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg, fused=True, approx_sin=True,
+                        interpret=True)
+    assert model.decode_apply is not None
+    p = model.init(jax.random.PRNGKey(0))
+    coords = np.linspace(-1, 1, 700, dtype=np.float32).reshape(-1, 1)
+    exact = np.asarray(jax.jit(model.apply)(p, jnp.asarray(coords)))
+    gated = decode_dense(model, p, coords, fit_snr_db=25.0)
+    assert gated.shape == exact.shape
+    # 25 dB fit -> bf16 + deg-7 tier (floor ~43 dB): relative error must
+    # stay well under the tier's quality budget
+    scale = float(np.max(np.abs(exact)))
+    assert float(np.max(np.abs(gated - exact))) < 2e-2 * max(scale, 1e-3)
+    ungated = decode_dense(model, p, coords)
+    np.testing.assert_array_equal(ungated, exact)
