@@ -216,10 +216,49 @@ def bench_multi() -> float:
     log(f"{k} chunks x {n} samples, model h={model_cfg.hidden_features} "
         f"omega0={model_cfg.first_omega_0}")
 
-    keys = jax.random.split(jax.random.PRNGKey(0), k)
-    states = jax.vmap(lambda kk: init_train_state(model, kk, tc))(keys)
-    train_step = make_train_step(model, tc)
-    vstep = jax.vmap(lambda s, t: train_step(s, coords, t), in_axes=(0, 0))
+    # whole-step fused kernel: fwd+bwd+clip+Adam in ONE Pallas call per
+    # chunk (loop.fused_step_plan; INRAUDIO_FUSED_STEP=0 for the A/B)
+    from inraudio_tpu.train.loop import fused_step_plan
+    block = fused_step_plan(model, tc, n)
+    if block is not None:
+        from inraudio_tpu.ops.pallas_siren_step import (
+            flat_state_from_train_state, make_fused_mse_train_step,
+            pad_step_inputs, train_state_from_flat, unflatten_params)
+        ctx = model.fused_step_ctx
+        coords_p, _, _ = pad_step_inputs(coords, np.zeros((n, 1), np.float32),
+                                         block)
+        tp = np.zeros((k, coords_p.shape[0], 1), np.float32)
+        tp[:, :n] = np.asarray(targets)
+        targets = jnp.asarray(tp)
+        fstep = make_fused_mse_train_step(
+            ctx["cfg"], tc, n, block, rff_b=ctx["rff_b"],
+            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+        vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t), in_axes=(0, 0))
+        log(f"fused whole-step kernel: block_rows={block}")
+
+        def init_states(seed):
+            ks = jax.random.split(jax.random.PRNGKey(seed), k)
+            sts = jax.vmap(lambda kk: init_train_state(model, kk, tc))(ks)
+            return jax.vmap(lambda s: flat_state_from_train_state(
+                s, ctx["cfg"], rff=ctx["rff_b"] is not None))(sts)
+
+        def best_pytree(states):
+            return jax.vmap(lambda f: unflatten_params(list(f),
+                                                       ctx["cfg"]))(
+                states.best_params)
+    else:
+        train_step = make_train_step(model, tc)
+        vstep = jax.vmap(lambda s, t: train_step(s, coords, t),
+                         in_axes=(0, 0))
+
+        def init_states(seed):
+            ks = jax.random.split(jax.random.PRNGKey(seed), k)
+            return jax.vmap(lambda kk: init_train_state(model, kk, tc))(ks)
+
+        def best_pytree(states):
+            return states.best_params
+
+    states = init_states(0)
 
     def run(states, targets):
         def body(s, _):
@@ -245,7 +284,7 @@ def bench_multi() -> float:
         @jax.jit
         def quick_snr(states):
             outs = jax.vmap(lambda p: model.apply(p, coords))(
-                states.best_params)[:, :, 0] * scales_d[:, None]
+                best_pytree(states))[:, :, 0] * scales_d[:, None]
             flat = outs[:, :hop].reshape(-1)[:m]
             return calculate_snr(sig_d[:m], flat)
 
@@ -260,8 +299,7 @@ def bench_multi() -> float:
     _ = np.asarray(h[-1])
     if track_snr:
         _ = float(quick_snr(states))  # compile outside the budget too
-    keys = jax.random.split(jax.random.PRNGKey(1), k)
-    states = jax.vmap(lambda kk: init_train_state(model, kk, tc))(keys)
+    states = init_states(1)
     _ = np.asarray(jax.tree_util.tree_leaves(states.params)[0])
     log(f"compile: {time.time() - t_setup:.1f}s "
         "(states re-initialized; budget contains all training steps)")
@@ -310,6 +348,9 @@ def bench_multi() -> float:
         log(f"time-to-{TARGET_DB:.0f}dB: {t40:.1f}s "
             f"(round granularity {ROUND_STEPS} steps)")
 
+    if block is not None:
+        states = jax.vmap(lambda s: train_state_from_flat(
+            s, ctx["cfg"]))(states)
     res = MultiINRResult(states=states, chunk_scales=scales, chunk_length=n,
                          hop=hop, num_chunks=k, signal_length=len(signal),
                          loss_history=np.zeros((1, k)), train_time_s=train_time)

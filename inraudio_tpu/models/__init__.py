@@ -49,6 +49,12 @@ class INRModel:
     # (ops/pallas_siren.auto_decode_kwargs), so decode adds <~0.5 dB of
     # reconstruction loss.  None = decode through ``apply``.
     decode_apply: Callable[[Any, jax.Array, float], jax.Array] | None = None
+    # Optional whole-step fused training path (ops/pallas_siren_step):
+    # dict(cfg, rff_b, approx_sin, interpret) set by the fused mlp branch.
+    # The train loop routes mse/alpha=0 fits through the single
+    # fwd+bwd+clip+Adam kernel when the model fits the VMEM gate
+    # (step_supported); everything else falls back to ``apply`` + autodiff.
+    fused_step_ctx: dict[str, Any] | None = None
 
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
@@ -97,7 +103,10 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
                 apply=lambda p, c: fused_siren_train_apply(
                     p, cfg, c, approx_sin=approx_sin, interpret=interpret,
                     rff_b=rff_b),
-                decode_apply=_decode)
+                decode_apply=_decode,
+                fused_step_ctx=dict(cfg=cfg, rff_b=rff_b,
+                                    approx_sin=approx_sin,
+                                    interpret=interpret))
         if rff_b is not None:
             return INRModel(
                 name="siren_snake_tanh_rff", config=cfg,

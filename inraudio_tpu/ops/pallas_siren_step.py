@@ -1,0 +1,406 @@
+"""Fused MSE train step: forward + backward + clip + Adam in ONE kernel.
+
+The r3 on-chip trace (BASELINE.md "train round device-time breakdown")
+showed the fused fwd+bwd kernels are only ~54% of a training round — the
+rest is XLA's per-step optimizer phase: elementwise Adam/plateau fusions
+(~36%) re-reading grads/params/moments from HBM, plus the cotangent pad.
+For the multi-INR headline (669 tiny models, ~134 MB of stacked params)
+that optimizer HBM traffic co-dominates with the compute.
+
+This kernel collapses the WHOLE step:
+
+    read  coords, targets, params, mu, nu          (once per step)
+    VMEM  recompute forward -> loss -> backward -> grads (never hit HBM)
+          -> global-norm clip -> Adam moment/param update
+    write new params, mu, nu, per-step loss
+
+vs. the unfused chain fwd kernel -> pad -> bwd kernel -> grad write ->
+XLA clip (grad read) -> XLA Adam (g/p/m/v read, p/m/v write).  The grads,
+cotangent and activations never touch HBM; params/moments are read and
+written exactly once.
+
+Semantics match ``train.loop.make_train_step`` with loss_mode='mse',
+alpha=0 exactly (same bf16x3 matmuls via the shared ``_fwd_pres`` /
+``_bwd_sweep`` helpers, same f32 Adam formula, torch-parity bias
+correction) — A/B-tested against it in tests/test_pallas_step.py.  The
+plateau scheduler and best-params snapshot stay in XLA (scalar math plus
+one select over the OLD params, which must outlive the update anyway
+because the best snapshot is of the params that PRODUCED the loss).
+
+VMEM holds 7 param-set copies (p/mu/nu in, p/mu/nu out, grads scratch),
+so the fused step is gated to models whose stacked parameters fit —
+h<=128 stacks (the headline shape) qualify; h=256 falls back to the
+two-kernel path (``step_supported``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.siren import SirenSnakeTanhConfig
+from .pallas_siren import (_MAX_SMALL_IN, _fast_cos, _fast_sin,
+                           _flatten_params, _prep_rff_bt, _round_up)
+from .pallas_siren_train import _bwd_sweep, _fwd_pres, _layer_param_slots
+
+Params = dict[str, Any]
+
+# Adam constants (torch.optim.Adam defaults, matching train.optim.AdamConfig)
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8
+
+
+def flat_param_shapes(cfg: SirenSnakeTanhConfig,
+                      rff: bool = False) -> list[tuple[int, int]]:
+    """Shapes of the ``_flatten_params`` output, derivable from the config
+    alone (used for the VMEM gate and for building zero moment buffers)."""
+    shapes: list[tuple[int, int]] = []
+    kinds = cfg.layer_kinds
+    h = cfg.hidden_features
+    for li, kind in enumerate(kinds):
+        in_f = ((cfg.in_features if rff else _MAX_SMALL_IN)
+                if li == 0 else h)
+        # final layer lane-padded to 128 (see _flatten_params)
+        out_f = 128 if li == len(kinds) - 1 else h
+        shapes.append((in_f, out_f))
+        shapes.append((1, out_f))
+        if kind == "linear_snake":
+            shapes.append((1, out_f))
+    return shapes
+
+
+def _params_bytes(cfg: SirenSnakeTanhConfig, rff: bool) -> int:
+    return 4 * sum(a * b for a, b in flat_param_shapes(cfg, rff))
+
+
+def step_block_rows(cfg: SirenSnakeTanhConfig, n_rows: int,
+                    rff_features: int = 0) -> int | None:
+    """VMEM-aware row-tile size for the fused step, or None if the model
+    does not fit (7 param-set copies + activations must sit in ~13 MB).
+
+    Like ``_bwd_block_rows``, prefers the tile minimising row padding for
+    the given ``n_rows`` (the multi-INR chunks are one exact tile)."""
+    pb = _params_bytes(cfg, rff_features > 0)
+    budget = 13 * 1024 * 1024 - 7 * pb
+    n_layers = len(cfg.layer_kinds)
+    floats_per_row = (2 * n_layers * cfg.hidden_features
+                      + 2 * rff_features + 128 + _MAX_SMALL_IN + 1)
+    cap = budget // (floats_per_row * 4)
+    if cap < 128:
+        return None
+    cap = max(128, (cap // 128) * 128)
+    hi = min(1024, cap)
+    cands = range(128, hi + 1, 128)
+    return min(cands, key=lambda b: (_round_up(max(n_rows, b), b), -b))
+
+
+def step_supported(cfg: SirenSnakeTanhConfig, n_rows: int,
+                   rff_features: int = 0) -> bool:
+    if cfg.out_features != 1:
+        return False
+    if rff_features == 0 and cfg.in_features > _MAX_SMALL_IN:
+        return False
+    return step_block_rows(cfg, n_rows, rff_features) is not None
+
+
+def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
+                 in_features, compute_dtype, num_slots, n_valid,
+                 clip_norm, approx_sin, rff_features):
+    """One grid step = one coordinate tile of the fused train step.
+
+    refs layout: [bt?] p[ns] mu[ns] nu[ns] | loss newp[ns] newmu[ns]
+    newnu[ns] | grads-scratch[ns].  Loss and grads accumulate across the
+    sequential grid (constant index maps); the clip+Adam epilogue runs on
+    the LAST tile, when the gradients are complete.
+    """
+    bt_ref = None
+    if rff_features:
+        bt_ref, refs = refs[0], refs[1:]
+    p_refs = refs[:num_slots]
+    mu_refs = refs[num_slots:2 * num_slots]
+    nu_refs = refs[2 * num_slots:3 * num_slots]
+    loss_ref = refs[3 * num_slots]
+    newp_refs = refs[3 * num_slots + 1:4 * num_slots + 1]
+    newmu_refs = refs[4 * num_slots + 1:5 * num_slots + 1]
+    newnu_refs = refs[5 * num_slots + 1:6 * num_slots + 1]
+    g_refs = refs[6 * num_slots + 1:]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+        for gr in g_refs:
+            gr[...] = jnp.zeros(gr.shape, gr.dtype)
+
+    sin_fn = _fast_sin if approx_sin else jnp.sin
+    cos_fn = _fast_cos if approx_sin else jnp.cos
+    x0 = coords_ref[:].astype(jnp.float32)
+    out, saved = _fwd_pres(x0, p_refs, kinds, omegas, in_features,
+                           compute_dtype, approx_sin,
+                           rff_features=rff_features, bt_ref=bt_ref)
+
+    rows, lanes = out.shape
+    tgt = tgt_ref[:].astype(jnp.float32)                      # (rows, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0) + i * rows
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    # scalar-output mask: real rows, lane 0 only (out lanes > 0 are exact
+    # zeros from the padded final layer, but tgt broadcasts to all lanes)
+    mask = ((row_ids < n_valid) & (lane_ids < 1)).astype(jnp.float32)
+    err = (out - tgt) * mask
+    inv_n = 1.0 / float(n_valid)
+    loss_ref[...] += jnp.sum(err * err, axis=0, keepdims=True) * inv_n
+
+    g = err * (2.0 * inv_n)
+    _bwd_sweep(g, saved, kinds, omegas, p_refs, g_refs,
+               compute_dtype, sin_fn, cos_fn, rff_features)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        s = scal_ref[:]                                       # (1, 128)
+        lr = s[0:1, 0:1]
+        c1 = s[0:1, 1:2]
+        c2 = s[0:1, 2:3]
+        if clip_norm > 0:
+            sq = None
+            for gr in g_refs:
+                gk = gr[...]
+                part = jnp.sum(gk * gk).reshape(1, 1)
+                sq = part if sq is None else sq + part
+            norm = jnp.sqrt(sq)
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(norm, 1e-20))
+        else:
+            scale = None
+        for k in range(num_slots):
+            gk = g_refs[k][...]
+            if scale is not None:
+                gk = gk * scale
+            m = _B1 * mu_refs[k][...] + (1.0 - _B1) * gk
+            v = _B2 * nu_refs[k][...] + (1.0 - _B2) * gk * gk
+            newmu_refs[k][...] = m
+            newnu_refs[k][...] = v
+            newp_refs[k][...] = (p_refs[k][...]
+                                 - lr * (m / c1) / (jnp.sqrt(v / c2) + _EPS))
+
+
+def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
+                        scal, cfg: SirenSnakeTanhConfig, block_rows: int,
+                        n_valid: int, clip_norm: float, raw_in_features: int,
+                        compute_dtype_name: str = "float32",
+                        interpret: bool = False, approx_sin: bool = False,
+                        bt=None):
+    """Invoke the fused step kernel.
+
+    ``coords_p`` (n_pad, 8) and ``tgt_p`` (n_pad, 1) are PRE-PADDED by the
+    caller (once per fit, not per step — killing the per-step pad op).
+    ``scal`` is the (1, 128) scalar block [lr, c1, c2, 0...] with the
+    bias-correction factors for THIS step.  Returns
+    (loss, new_params, new_mu, new_nu) with the same flat layout.
+    """
+    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                     else jnp.float32)
+    kinds = cfg.layer_kinds
+    omegas = tuple(cfg.first_omega_0 if k == "sine_first"
+                   else (cfg.hidden_omega_0 if k == "sine" else 0.0)
+                   for k in kinds)
+    n_pad = coords_p.shape[0]
+    ns = len(flat_params)
+    grid = (n_pad // block_rows,)
+
+    in_specs = [
+        pl.BlockSpec((block_rows, _MAX_SMALL_IN), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [coords_p, tgt_p, scal]
+    rff_features = 0
+    if bt is not None:
+        rff_features = bt.shape[1]
+        in_specs.append(pl.BlockSpec(bt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bt)
+    for group in (flat_params, flat_mu, flat_nu):
+        for p in group:
+            in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(p)
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    for _ in range(3):
+        for p in flat_params:
+            out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+            out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _step_kernel, kinds=kinds, omegas=omegas,
+        in_features=raw_in_features,
+        compute_dtype=compute_dtype, num_slots=ns, n_valid=n_valid,
+        clip_norm=clip_norm, approx_sin=approx_sin,
+        rff_features=rff_features)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32)
+                        for p in flat_params],
+        interpret=interpret,
+    )(*operands)
+    loss = jnp.sum(outs[0])  # lanes > 0 accumulate exact zeros
+    new_p = list(outs[1:1 + ns])
+    new_mu = list(outs[1 + ns:1 + 2 * ns])
+    new_nu = list(outs[1 + 2 * ns:1 + 3 * ns])
+    return loss, new_p, new_mu, new_nu
+
+
+class FlatTrainState(NamedTuple):
+    """TrainState with params/moments/best kept in the kernel's flat padded
+    layout across the whole scan (flatten once per fit, not per step)."""
+    params: tuple
+    mu: tuple
+    nu: tuple
+    best_params: tuple
+    step: jax.Array        # int32 — Adam t
+    lr: jax.Array          # float32
+    plateau_best: jax.Array
+    plateau_bad: jax.Array
+    best_loss: jax.Array
+    best_iter: jax.Array
+
+
+def unflatten_params(flat, cfg: SirenSnakeTanhConfig) -> Params:
+    """Flat padded list -> layer-dict pytree with pads trimmed (inverse of
+    ``_flatten_params``; real shapes derive from the config alone)."""
+    kinds = cfg.layer_kinds
+    h = cfg.hidden_features
+    gi = 0
+    layers = []
+    for li, kind in enumerate(kinds):
+        w = flat[gi]
+        b = flat[gi + 1].reshape(-1)
+        gi += 2
+        in_f = cfg.in_features if li == 0 else h
+        out_f = cfg.out_features if li == len(kinds) - 1 else h
+        layer = {"w": w[:in_f, :out_f], "b": b[:out_f]}
+        if kind == "linear_snake":
+            layer["snake_a"] = flat[gi].reshape(-1)[:out_f]
+            gi += 1
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def pad_step_inputs(coords: np.ndarray, targets: np.ndarray,
+                    block_rows: int) -> tuple[jax.Array, jax.Array, int]:
+    """(n, d) coords + (n, 1) targets -> kernel-padded device arrays.
+    Done ONCE per fit; padded target rows are zero and masked in-kernel."""
+    n, d = coords.shape
+    n_pad = _round_up(max(n, block_rows), block_rows)
+    cp = np.zeros((n_pad, _MAX_SMALL_IN), dtype=np.float32)
+    cp[:n, :d] = np.asarray(coords, dtype=np.float32)
+    tp = np.zeros((n_pad, 1), dtype=np.float32)
+    tp[:n] = np.asarray(targets, dtype=np.float32).reshape(n, 1)
+    return jnp.asarray(cp), jnp.asarray(tp), n
+
+
+def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
+                              n_valid: int, block_rows: int,
+                              rff_b=None, approx_sin: bool = False,
+                              interpret: bool = False):
+    """Build step(state: FlatTrainState, coords_p, tgt_p) -> (state,
+    (loss, lr)) — semantics of ``train.loop.make_train_step`` for
+    loss_mode='mse', alpha=0, with the compute in one Pallas call.
+
+    Plateau scheduler and best tracking run in XLA on the step's outputs:
+    the best snapshot selects the OLD params (the ones that produced the
+    loss), exactly like the reference path (loop.py make_train_step).
+    """
+    from ..train.optim import PlateauConfig, plateau_update
+    from ..train.optim import PlateauState
+
+    plateau_cfg = PlateauConfig(factor=train_cfg.plateau_factor,
+                                patience=train_cfg.plateau_patience,
+                                min_lr=train_cfg.min_learning_rate)
+    bt = None if rff_b is None else _prep_rff_bt(rff_b)
+    raw_d = cfg.in_features if rff_b is None else rff_b.shape[1]
+    clip = float(train_cfg.grad_clip_norm)
+    track_best = train_cfg.track_best
+
+    def step(state: FlatTrainState, coords_p, tgt_p):
+        t = state.step + 1
+        tf = t.astype(jnp.float32)
+        c1 = 1.0 - _B1 ** tf
+        c2 = 1.0 - _B2 ** tf
+        scal = jnp.zeros((1, 128), jnp.float32)
+        scal = scal.at[0, 0].set(state.lr)
+        scal = scal.at[0, 1].set(c1)
+        scal = scal.at[0, 2].set(c2)
+        loss, new_p, new_mu, new_nu = fused_mse_step_call(
+            list(state.params), list(state.mu), list(state.nu),
+            coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip, raw_d,
+            interpret=interpret, approx_sin=approx_sin, bt=bt)
+        pl_state, new_lr = plateau_update(
+            PlateauState(best=state.plateau_best, num_bad=state.plateau_bad),
+            loss, state.lr, plateau_cfg)
+        improved = loss < state.best_loss
+        if track_best:
+            best = tuple(jnp.where(improved, p, b)
+                         for p, b in zip(state.params, state.best_params))
+        else:
+            best = state.best_params
+        new_state = FlatTrainState(
+            params=tuple(new_p), mu=tuple(new_mu), nu=tuple(new_nu),
+            best_params=best, step=t, lr=new_lr,
+            plateau_best=pl_state.best, plateau_bad=pl_state.num_bad,
+            best_loss=jnp.where(improved, loss, state.best_loss),
+            best_iter=jnp.where(improved, t - 1, state.best_iter))
+        return new_state, (loss, new_lr)
+
+    return step
+
+
+def flat_state_from_train_state(state, cfg: SirenSnakeTanhConfig,
+                                rff: bool = False) -> FlatTrainState:
+    """train.loop.TrainState -> FlatTrainState (pads params/moments once).
+    Padded regions carry zero gradients, so zero-padded moments stay zero —
+    the flat Adam trajectory equals the pytree one on the real entries."""
+    flatten = functools.partial(_flatten_params, cfg=cfg, rff=rff)
+    return FlatTrainState(
+        params=tuple(flatten(state.params)),
+        mu=tuple(flatten(state.opt.mu)),
+        nu=tuple(flatten(state.opt.nu)),
+        best_params=tuple(flatten(state.best_params)),
+        step=state.opt.step,
+        lr=state.opt.lr,
+        plateau_best=state.plateau.best,
+        plateau_bad=state.plateau.num_bad,
+        best_loss=state.best_loss,
+        best_iter=state.best_iter)
+
+
+def train_state_from_flat(fstate: FlatTrainState,
+                          cfg: SirenSnakeTanhConfig):
+    """FlatTrainState -> train.loop.TrainState (trims pads; checkpoint /
+    decode compatible)."""
+    from ..train.loop import TrainState
+    from ..train.optim import AdamState, PlateauState
+    unf = lambda flat: unflatten_params(list(flat), cfg)
+    return TrainState(
+        params=unf(fstate.params),
+        opt=AdamState(step=fstate.step, mu=unf(fstate.mu),
+                      nu=unf(fstate.nu), lr=fstate.lr),
+        plateau=PlateauState(best=fstate.plateau_best,
+                             num_bad=fstate.plateau_bad),
+        best_params=unf(fstate.best_params),
+        best_loss=fstate.best_loss,
+        best_iter=fstate.best_iter)

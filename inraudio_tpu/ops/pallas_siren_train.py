@@ -87,43 +87,14 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
     return x, saved
 
 
-def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
-                compute_dtype, num_param_refs, approx_sin=False,
-                rff_features=0):
-    """Backward per tile: recompute forward, backprop, accumulate grads.
-
-    refs = param refs (inputs) followed by grad output refs (same order).
-    Grad outputs use constant index maps — the same VMEM block is revisited
-    every grid step, so ``+=`` accumulates across the sequential grid.
-
-    The cotangent stays in the 128-lane-padded (rows, 128) layout: unlike
-    the forward output (where the padded write dominated traffic), the
-    backward is compute-bound on the in-VMEM recompute + grad matmuls, so
-    the padded read is fully overlapped and a compact repack (a
-    lane-to-sublane relayout Mosaic has no cheap op for) buys nothing.
-    """
-    bt_ref = None
-    if rff_features:
-        bt_ref, refs = refs[0], refs[1:]
-    param_refs = refs[:num_param_refs]
-    grad_refs = refs[num_param_refs:]
-
-    is_first_tile = pl.program_id(0) == 0
-
-    @pl.when(is_first_tile)
-    def _():
-        for gr in grad_refs:
-            gr[...] = jnp.zeros(gr.shape, gr.dtype)
-
-    sin_fn = _fast_sin if approx_sin else jnp.sin
-    cos_fn = _fast_cos if approx_sin else jnp.cos
-    x0 = coords_ref[:].astype(jnp.float32)
-    _, saved = _fwd_pres(x0, param_refs, kinds, omegas, in_features,
-                         compute_dtype, approx_sin,
-                         rff_features=rff_features, bt_ref=bt_ref)
-
-    g = g_ref[:].astype(jnp.float32)  # (rows, out_pad)
-    ri = num_param_refs
+def _bwd_sweep(g, saved, kinds, omegas, param_refs, grad_refs,
+               compute_dtype, sin_fn, cos_fn, rff_features=0):
+    """Reverse walk over the layer stack: backprop ``g`` through the saved
+    (input, pre-activation) pairs, ACCUMULATING dW/db/da into ``grad_refs``
+    with ``+=`` (callers zero the refs on the first grid step; constant
+    index maps make the same VMEM block persist across the sequential
+    grid).  Shared by the custom-VJP backward kernel and the fused
+    train-step kernel (pallas_siren_step)."""
     # walk layers in reverse, tracking ref index per layer
     slots = _layer_param_slots(kinds)
     starts = np.cumsum([0] + slots[:-1]).tolist()
@@ -162,6 +133,46 @@ def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
         if li > 0:
             g = _kernel_dot(gpre, w_ref[:], (((1,), (1,)), ((), ())),
                             compute_dtype)
+
+
+def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,
+                compute_dtype, num_param_refs, approx_sin=False,
+                rff_features=0):
+    """Backward per tile: recompute forward, backprop, accumulate grads.
+
+    refs = param refs (inputs) followed by grad output refs (same order).
+    Grad outputs use constant index maps — the same VMEM block is revisited
+    every grid step, so ``+=`` accumulates across the sequential grid.
+
+    The cotangent stays in the 128-lane-padded (rows, 128) layout: unlike
+    the forward output (where the padded write dominated traffic), the
+    backward is compute-bound on the in-VMEM recompute + grad matmuls, so
+    the padded read is fully overlapped and a compact repack (a
+    lane-to-sublane relayout Mosaic has no cheap op for) buys nothing.
+    """
+    bt_ref = None
+    if rff_features:
+        bt_ref, refs = refs[0], refs[1:]
+    param_refs = refs[:num_param_refs]
+    grad_refs = refs[num_param_refs:]
+
+    is_first_tile = pl.program_id(0) == 0
+
+    @pl.when(is_first_tile)
+    def _():
+        for gr in grad_refs:
+            gr[...] = jnp.zeros(gr.shape, gr.dtype)
+
+    sin_fn = _fast_sin if approx_sin else jnp.sin
+    cos_fn = _fast_cos if approx_sin else jnp.cos
+    x0 = coords_ref[:].astype(jnp.float32)
+    _, saved = _fwd_pres(x0, param_refs, kinds, omegas, in_features,
+                         compute_dtype, approx_sin,
+                         rff_features=rff_features, bt_ref=bt_ref)
+
+    g = g_ref[:].astype(jnp.float32)  # (rows, out_pad)
+    _bwd_sweep(g, saved, kinds, omegas, param_refs, grad_refs,
+               compute_dtype, sin_fn, cos_fn, rff_features)
 
 
 def _pad_inputs(coords, block_rows):

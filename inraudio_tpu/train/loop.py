@@ -152,6 +152,37 @@ def make_train_step(model: INRModel, cfg: TrainConfig):
     return train_step
 
 
+def _as_train_state(carry, model: INRModel) -> TrainState:
+    """Identity for a TrainState carry; converts a FlatTrainState from the
+    whole-step fused path back to the standard pytree layout."""
+    if isinstance(carry, TrainState):
+        return carry
+    from ..ops.pallas_siren_step import train_state_from_flat
+    return train_state_from_flat(carry, model.fused_step_ctx["cfg"])
+
+
+def fused_step_plan(model: INRModel, cfg: TrainConfig, n_rows: int,
+                    has_weight: bool = False) -> int | None:
+    """Row-tile size for the whole-step fused kernel, or None when the fit
+    cannot route through it (non-mse loss, loss weights, grid refresh, a
+    model without the fused-step context, or a VMEM-overflowing stack).
+    ``INRAUDIO_FUSED_STEP=0`` disables the path for A/B measurement."""
+    import os
+    ctx = model.fused_step_ctx
+    if ctx is None or has_weight:
+        return None
+    if cfg.loss_mode != "mse" or cfg.alpha != 0.0 or cfg.update_grid_every:
+        return None
+    if os.environ.get("INRAUDIO_FUSED_STEP", "1") == "0":
+        return None
+    from ..ops.pallas_siren_step import step_block_rows, step_supported
+    rffb = ctx["rff_b"]
+    rf = 0 if rffb is None else rffb.shape[0]
+    if not step_supported(ctx["cfg"], n_rows, rf):
+        return None
+    return step_block_rows(ctx["cfg"], n_rows, rf)
+
+
 def fit(model: INRModel,
         coords: np.ndarray,
         targets: np.ndarray,
@@ -185,21 +216,43 @@ def fit(model: INRModel,
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     mesh = mesh or make_mesh()
-    coords_d, targets_d, weight_d, _n = shard_problem_arrays(
-        mesh, coords, targets, weight)
 
     if state is None:
         state = init_train_state(model, key, cfg)
     rep = replicated_sharding(mesh)
     state = jax.device_put(state, rep)
 
-    train_step = make_train_step(model, cfg)
+    # Whole-step fused path (single device only: the Pallas custom call is
+    # not SPMD-partitionable; the sharded multi-device full-batch fit keeps
+    # the autodiff path, and multi_inr shard_maps the fused step itself).
+    block = (fused_step_plan(model, cfg, coords.shape[0],
+                             has_weight=weight is not None)
+             if mesh.devices.size == 1 else None)
+    if block is not None:
+        from ..ops.pallas_siren_step import (flat_state_from_train_state,
+                                             make_fused_mse_train_step,
+                                             pad_step_inputs)
+        ctx = model.fused_step_ctx
+        coords_d, targets_d, n_valid = pad_step_inputs(coords, targets,
+                                                       block)
+        weight_d = None
+        fstep = make_fused_mse_train_step(
+            ctx["cfg"], cfg, n_valid, block, rff_b=ctx["rff_b"],
+            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+        step_fn = lambda s, c, t, w: fstep(s, c, t)
+        carry = flat_state_from_train_state(
+            state, ctx["cfg"], rff=ctx["rff_b"] is not None)
+    else:
+        coords_d, targets_d, weight_d, _n = shard_problem_arrays(
+            mesh, coords, targets, weight)
+        step_fn = make_train_step(model, cfg)
+        carry = state
 
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("length",))
     def run(state, coords, targets, weight, length):
         def body(s, _):
-            s, (loss, lr) = train_step(s, coords, targets, weight)
+            s, (loss, lr) = step_fn(s, coords, targets, weight)
             return s, (loss, lr)
         return jax.lax.scan(body, state, None, length=length)
 
@@ -217,10 +270,10 @@ def fit(model: INRModel,
         # one) so the trace holds steady-state step time, not compilation
         profiled = profile_dir is not None and rounds == min(1, n_rounds - 1)
         with profile_trace(profile_dir, enabled=profiled):
-            state, (lh, lrh) = run(state, coords_d, targets_d, weight_d,
+            carry, (lh, lrh) = run(carry, coords_d, targets_d, weight_d,
                                    length=n)
             if profiled:
-                jax.block_until_ready(state.params)
+                jax.block_until_ready(carry.params)
         loss_chunks.append(lh)
         lr_chunks.append(lrh)
         done += n
@@ -237,8 +290,8 @@ def fit(model: INRModel,
                 grid_x = jnp.asarray(coords[::stride])
             else:
                 grid_x = coords_d
-            new_params = model.update_grid(state.params, grid_x)
-            state = state._replace(
+            new_params = model.update_grid(carry.params, grid_x)
+            carry = carry._replace(
                 params=jax.device_put(new_params, rep))
             last_grid_update = done
         if metrics is not None:
@@ -251,17 +304,18 @@ def fit(model: INRModel,
                 and done - last_ckpt >= checkpoint_every
                 and done < cfg.total_steps):
             from .checkpoint import save_checkpoint
-            jax.block_until_ready(state.params)
-            save_checkpoint(checkpoint_path, state,
+            jax.block_until_ready(carry.params)
+            save_checkpoint(checkpoint_path, _as_train_state(carry, model),
                             extra={"steps_done": done})
             last_ckpt = done
-    jax.block_until_ready(state.params)
+    jax.block_until_ready(carry.params)
     # On the tunneled axon TPU backend block_until_ready can return before
     # remote execution finishes; a real device->host fetch of one final-state
     # leaf forces the whole scan chain to complete, so train_time is
     # wall-truth (measured: 3.7 s "internal" vs 102 s actual without this).
-    np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.asarray(jax.tree_util.tree_leaves(carry.params)[0])
     train_time = time.time() - t0
+    state = _as_train_state(carry, model)
     loss_hist = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else loss_chunks[0]
     lr_hist = jnp.concatenate(lr_chunks) if len(lr_chunks) > 1 else lr_chunks[0]
     if cfg.log_every > 1:

@@ -42,7 +42,8 @@ from ..models import INRModel
 from ..parallel.mesh import make_mesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .loop import TrainConfig, TrainState, init_train_state, make_train_step
+from .loop import (TrainConfig, TrainState, fused_step_plan,
+                   init_train_state, make_train_step)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -235,11 +236,38 @@ def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
         spec = P(*(("data",) + (None,) * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    # Whole-step fused kernel (fwd+bwd+clip+Adam in one Pallas call): the
+    # per-chunk step has no cross-device traffic, so it composes with the
+    # shard_map chunk sharding exactly like the two-kernel path.  Carries a
+    # FlatTrainState through the scan; converted back after training.
+    block = fused_step_plan(model, train_cfg, n)
+    if block is not None:
+        from ..ops.pallas_siren_step import (flat_state_from_train_state,
+                                             make_fused_mse_train_step,
+                                             pad_step_inputs,
+                                             train_state_from_flat)
+        ctx = model.fused_step_ctx
+        coords_p, _, _ = pad_step_inputs(coords, np.zeros((n, 1), np.float32),
+                                         block)
+        n_pad = coords_p.shape[0]
+        tp = np.zeros((k_total, n_pad, 1), dtype=np.float32)
+        tp[:, :n, :] = targets
+        targets = tp
+        fstep = make_fused_mse_train_step(
+            ctx["cfg"], train_cfg, n, block, rff_b=ctx["rff_b"],
+            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+        states = jax.vmap(lambda s: flat_state_from_train_state(
+            s, ctx["cfg"], rff=ctx["rff_b"] is not None))(states)
+        # coords_p stays a HOST constant in the closure (see coords note)
+        vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t),
+                         in_axes=(0, 0))
+    else:
+        train_step = make_train_step(model, train_cfg)
+        vstep = jax.vmap(lambda s, t: train_step(s, coords, t),
+                         in_axes=(0, 0))
     states = jax.tree.map(shard_leaf, states)
     targets_d = shard_leaf(jnp.asarray(targets))
 
-    train_step = make_train_step(model, train_cfg)
-    vstep = jax.vmap(lambda s, t: train_step(s, coords, t), in_axes=(0, 0))
     if n_dev > 1:
         vstep = jax.shard_map(vstep, mesh=mesh,
                               in_specs=(P("data"), P("data")),
@@ -275,6 +303,9 @@ def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
     # return before remote execution completes (see loop.py fit())
     np.asarray(jax.tree_util.tree_leaves(states.params)[0])
     train_time = time.time() - t0
+    if block is not None:
+        states = jax.vmap(
+            lambda s: train_state_from_flat(s, ctx["cfg"]))(states)
     hist = np.concatenate([np.asarray(h) for h in hists], axis=0)[:, :k]
     return MultiINRResult(states=states, chunk_scales=scales,
                           chunk_length=n, hop=hop, num_chunks=k,

@@ -128,8 +128,29 @@ def main():
                      plateau_patience=50)
     keys = jax.random.split(jax.random.PRNGKey(0), k)
     states = jax.vmap(lambda kk: init_train_state(model, kk, tc))(keys)
-    step = make_train_step(model, tc)
-    vstep = jax.vmap(lambda s, t: step(s, coords, t), in_axes=(0, 0))
+    from inraudio_tpu.train.loop import fused_step_plan
+    block = fused_step_plan(model, tc, n)
+    if block is not None:
+        from inraudio_tpu.ops.pallas_siren_step import (
+            flat_state_from_train_state, make_fused_mse_train_step,
+            pad_step_inputs)
+        ctx = model.fused_step_ctx
+        coords_p, _, _ = pad_step_inputs(coords, np.zeros((n, 1), np.float32),
+                                         block)
+        tp = np.zeros((k, coords_p.shape[0], 1), np.float32)
+        tp[:, :n] = np.asarray(targets)
+        targets = jnp.asarray(tp)
+        fstep = make_fused_mse_train_step(
+            ctx["cfg"], tc, n, block, rff_b=ctx["rff_b"],
+            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+        states = jax.vmap(lambda s: flat_state_from_train_state(
+            s, ctx["cfg"]))(states)
+        vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t), in_axes=(0, 0))
+        print(f"train path: fused whole-step kernel (block_rows={block})",
+              flush=True)
+    else:
+        step = make_train_step(model, tc)
+        vstep = jax.vmap(lambda s, t: step(s, coords, t), in_axes=(0, 0))
 
     @jax.jit
     def run(states, targets):
