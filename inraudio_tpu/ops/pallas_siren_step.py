@@ -79,14 +79,20 @@ def _params_bytes(cfg: SirenSnakeTanhConfig, rff: bool) -> int:
 
 
 def step_block_rows(cfg: SirenSnakeTanhConfig, n_rows: int,
-                    rff_features: int = 0) -> int | None:
+                    rff_features: int = 0,
+                    track_best: bool = True) -> int | None:
     """VMEM-aware row-tile size for the fused step, or None if the model
-    does not fit (7 param-set copies + activations must sit in ~13 MB).
+    does not fit.  The kernel holds ``param_copies`` param-set-sized VMEM
+    blocks (p/mu/nu in+out, grads scratch = 7; +2 for the in-kernel best
+    snapshot) plus the per-row activation live set, inside a ~14.5 MB
+    budget (measured: 512-row tiles at 12.6 MB run; the v5e VMEM is 16 MB
+    with pipeline buffers on top).
 
     Like ``_bwd_block_rows``, prefers the tile minimising row padding for
     the given ``n_rows`` (the multi-INR chunks are one exact tile)."""
     pb = _params_bytes(cfg, rff_features > 0)
-    budget = 13 * 1024 * 1024 - 7 * pb
+    copies = 9 if track_best else 7
+    budget = int(14.5 * 1024 * 1024) - copies * pb
     n_layers = len(cfg.layer_kinds)
     floats_per_row = (2 * n_layers * cfg.hidden_features
                       + 2 * rff_features + 128 + _MAX_SMALL_IN + 1)
@@ -100,35 +106,44 @@ def step_block_rows(cfg: SirenSnakeTanhConfig, n_rows: int,
 
 
 def step_supported(cfg: SirenSnakeTanhConfig, n_rows: int,
-                   rff_features: int = 0) -> bool:
+                   rff_features: int = 0, track_best: bool = True) -> bool:
     if cfg.out_features != 1:
         return False
     if rff_features == 0 and cfg.in_features > _MAX_SMALL_IN:
         return False
-    return step_block_rows(cfg, n_rows, rff_features) is not None
+    return step_block_rows(cfg, n_rows, rff_features, track_best) is not None
 
 
 def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
                  in_features, compute_dtype, num_slots, n_valid,
-                 clip_norm, approx_sin, rff_features):
+                 clip_norm, approx_sin, rff_features, track_best):
     """One grid step = one coordinate tile of the fused train step.
 
-    refs layout: [bt?] p[ns] mu[ns] nu[ns] | loss newp[ns] newmu[ns]
-    newnu[ns] | grads-scratch[ns].  Loss and grads accumulate across the
-    sequential grid (constant index maps); the clip+Adam epilogue runs on
-    the LAST tile, when the gradients are complete.
+    refs layout: [bt?] p[ns] mu[ns] nu[ns] best[ns]? | loss newp[ns]
+    newmu[ns] newnu[ns] newbest[ns]? | grads-scratch[ns].  Loss and grads
+    accumulate across the sequential grid (constant index maps); the
+    clip+Adam+best epilogue runs on the LAST tile, when the gradients are
+    complete.  The best snapshot lives IN the kernel so the old params die
+    at the call boundary — every state group aliases in-place, and the
+    scan carry needs zero XLA copies.
     """
     bt_ref = None
     if rff_features:
         bt_ref, refs = refs[0], refs[1:]
-    p_refs = refs[:num_slots]
-    mu_refs = refs[num_slots:2 * num_slots]
-    nu_refs = refs[2 * num_slots:3 * num_slots]
-    loss_ref = refs[3 * num_slots]
-    newp_refs = refs[3 * num_slots + 1:4 * num_slots + 1]
-    newmu_refs = refs[4 * num_slots + 1:5 * num_slots + 1]
-    newnu_refs = refs[5 * num_slots + 1:6 * num_slots + 1]
-    g_refs = refs[6 * num_slots + 1:]
+    ns = num_slots
+    groups = 4 if track_best else 3
+    p_refs = refs[:ns]
+    mu_refs = refs[ns:2 * ns]
+    nu_refs = refs[2 * ns:3 * ns]
+    best_refs = refs[3 * ns:4 * ns] if track_best else ()
+    o = groups * ns
+    loss_ref = refs[o]
+    newp_refs = refs[o + 1:o + 1 + ns]
+    newmu_refs = refs[o + 1 + ns:o + 1 + 2 * ns]
+    newnu_refs = refs[o + 1 + 2 * ns:o + 1 + 3 * ns]
+    newbest_refs = (refs[o + 1 + 3 * ns:o + 1 + 4 * ns]
+                    if track_best else ())
+    g_refs = refs[o + 1 + groups * ns:]
 
     i = pl.program_id(0)
 
@@ -176,21 +191,32 @@ def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(norm, 1e-20))
         else:
             scale = None
+        if track_best:
+            # total loss: the row sums accumulated into lane 0 across all
+            # tiles (this tile's += already ran above); same f32 value the
+            # host-side plateau/best scalars see
+            total = loss_ref[...][0:1, 0:1]
+            improved = total < s[0:1, 3:4]                    # best_loss
         for k in range(num_slots):
             gk = g_refs[k][...]
             if scale is not None:
                 gk = gk * scale
+            p_old = p_refs[k][...]
+            if track_best:
+                newbest_refs[k][...] = jnp.where(improved, p_old,
+                                                 best_refs[k][...])
             m = _B1 * mu_refs[k][...] + (1.0 - _B1) * gk
             v = _B2 * nu_refs[k][...] + (1.0 - _B2) * gk * gk
             newmu_refs[k][...] = m
             newnu_refs[k][...] = v
-            newp_refs[k][...] = (p_refs[k][...]
+            newp_refs[k][...] = (p_old
                                  - lr * (m / c1) / (jnp.sqrt(v / c2) + _EPS))
 
 
 def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
                         scal, cfg: SirenSnakeTanhConfig, block_rows: int,
                         n_valid: int, clip_norm: float, raw_in_features: int,
+                        flat_best=None,
                         compute_dtype_name: str = "float32",
                         interpret: bool = False, approx_sin: bool = False,
                         bt=None):
@@ -198,9 +224,16 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
 
     ``coords_p`` (n_pad, 8) and ``tgt_p`` (n_pad, 1) are PRE-PADDED by the
     caller (once per fit, not per step — killing the per-step pad op).
-    ``scal`` is the (1, 128) scalar block [lr, c1, c2, 0...] with the
-    bias-correction factors for THIS step.  Returns
-    (loss, new_params, new_mu, new_nu) with the same flat layout.
+    ``scal`` is the (1, 128) scalar block [lr, c1, c2, best_loss, 0...]
+    with the bias-correction factors for THIS step.  With ``flat_best``
+    the best-params snapshot updates inside the kernel (select against the
+    OLD params, which then die at the call boundary).  Returns
+    (loss, new_params, new_mu, new_nu[, new_best]).
+
+    Every state group is aliased in-place (p/mu/nu/best in -> out): inside
+    the scan the carry lives at a fixed buffer, so a non-aliased kernel
+    output pays an XLA copy back into the carry slot — measured 0.133
+    ms/step per (669, 128, 128) leaf, ~2.7 ms/step total on the headline.
     """
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
@@ -210,6 +243,7 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
                    for k in kinds)
     n_pad = coords_p.shape[0]
     ns = len(flat_params)
+    track_best = flat_best is not None
     grid = (n_pad // block_rows,)
 
     in_specs = [
@@ -226,7 +260,9 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
         in_specs.append(pl.BlockSpec(bt.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(bt)
-    for group in (flat_params, flat_mu, flat_nu):
+    groups = (flat_params, flat_mu, flat_nu) + (
+        (flat_best,) if track_best else ())
+    for group in groups:
         for p in group:
             in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
@@ -235,7 +271,7 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
     out_shapes = [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 128), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
-    for _ in range(3):
+    for _ in range(len(groups)):
         for p in flat_params:
             out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
             out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
@@ -246,7 +282,12 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
         in_features=raw_in_features,
         compute_dtype=compute_dtype, num_slots=ns, n_valid=n_valid,
         clip_norm=clip_norm, approx_sin=approx_sin,
-        rff_features=rff_features)
+        rff_features=rff_features, track_best=track_best)
+    base = 3 + (1 if bt is not None else 0)
+    aliases = {}
+    for gi in range(len(groups)):
+        for j in range(ns):
+            aliases[base + gi * ns + j] = 1 + gi * ns + j
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -255,12 +296,15 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32)
                         for p in flat_params],
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
     loss = jnp.sum(outs[0])  # lanes > 0 accumulate exact zeros
     new_p = list(outs[1:1 + ns])
     new_mu = list(outs[1 + ns:1 + 2 * ns])
     new_nu = list(outs[1 + 2 * ns:1 + 3 * ns])
+    if track_best:
+        return loss, new_p, new_mu, new_nu, list(outs[1 + 3 * ns:1 + 4 * ns])
     return loss, new_p, new_mu, new_nu
 
 
@@ -341,23 +385,27 @@ def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
         tf = t.astype(jnp.float32)
         c1 = 1.0 - _B1 ** tf
         c2 = 1.0 - _B2 ** tf
-        scal = jnp.zeros((1, 128), jnp.float32)
-        scal = scal.at[0, 0].set(state.lr)
-        scal = scal.at[0, 1].set(c1)
-        scal = scal.at[0, 2].set(c2)
-        loss, new_p, new_mu, new_nu = fused_mse_step_call(
-            list(state.params), list(state.mu), list(state.nu),
-            coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip, raw_d,
-            interpret=interpret, approx_sin=approx_sin, bt=bt)
+        one = lambda x: jnp.asarray(x, jnp.float32).reshape(1, 1)
+        scal = jnp.concatenate(
+            [one(state.lr), one(c1), one(c2), one(state.best_loss),
+             jnp.zeros((1, 124), jnp.float32)], axis=1)
+        if track_best:
+            loss, new_p, new_mu, new_nu, best = fused_mse_step_call(
+                list(state.params), list(state.mu), list(state.nu),
+                coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip,
+                raw_d, flat_best=list(state.best_params),
+                interpret=interpret, approx_sin=approx_sin, bt=bt)
+            best = tuple(best)
+        else:
+            loss, new_p, new_mu, new_nu = fused_mse_step_call(
+                list(state.params), list(state.mu), list(state.nu),
+                coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip,
+                raw_d, interpret=interpret, approx_sin=approx_sin, bt=bt)
+            best = state.best_params  # reference alias semantics
         pl_state, new_lr = plateau_update(
             PlateauState(best=state.plateau_best, num_bad=state.plateau_bad),
             loss, state.lr, plateau_cfg)
         improved = loss < state.best_loss
-        if track_best:
-            best = tuple(jnp.where(improved, p, b)
-                         for p, b in zip(state.params, state.best_params))
-        else:
-            best = state.best_params
         new_state = FlatTrainState(
             params=tuple(new_p), mu=tuple(new_mu), nu=tuple(new_nu),
             best_params=best, step=t, lr=new_lr,

@@ -178,9 +178,9 @@ def fused_step_plan(model: INRModel, cfg: TrainConfig, n_rows: int,
     from ..ops.pallas_siren_step import step_block_rows, step_supported
     rffb = ctx["rff_b"]
     rf = 0 if rffb is None else rffb.shape[0]
-    if not step_supported(ctx["cfg"], n_rows, rf):
+    if not step_supported(ctx["cfg"], n_rows, rf, cfg.track_best):
         return None
-    return step_block_rows(ctx["cfg"], n_rows, rf)
+    return step_block_rows(ctx["cfg"], n_rows, rf, cfg.track_best)
 
 
 def fit(model: INRModel,
