@@ -196,10 +196,14 @@ def bench_multi() -> float:
         grad_clip_norm=float(os.environ.get("BENCH_CLIP", "1.0")),
         # fast plateau decay: 512-row chunks saturate their lr-1e-3 descent
         # within ~50 steps of stalling, and an earlier decay lets every
-        # chunk descend ~5 dB deeper inside the budget (patience scan:
-        # 200 -> 115.6 dB, 100 -> 120.6, **50 -> 121.3**, 25 -> 111.6;
-        # factor 0.9 ties 0.8, factor 0.7 decays too hard)
-        plateau_patience=int(os.environ.get("BENCH_PATIENCE", "50")),
+        # chunk descend ~5 dB deeper inside the budget (r2 patience scan at
+        # 89 steps/s: 200 -> 115.6 dB, 100 -> 120.6, **50 -> 121.3**,
+        # 25 -> 111.6; factor 0.9 ties 0.8, 0.7 decays too hard).  r3: the
+        # whole-step fused kernel runs 1.7x the steps in-budget, so the
+        # best patience shrank with it (scan at 152 steps/s, lr 1.5e-3:
+        # 25 -> 124.6, **35 -> 125.7**, 50 -> 125.6, 85 -> 124.5,
+        # 120 -> 120.8)
+        plateau_patience=int(os.environ.get("BENCH_PATIENCE", "35")),
         plateau_factor=float(os.environ.get("BENCH_PLATEAU_FACTOR", "0.8")))
 
     chunks, n, hop = chunk_signal(signal, fs, mc)
