@@ -345,16 +345,22 @@ def unflatten_params(flat, cfg: SirenSnakeTanhConfig) -> Params:
 
 
 def pad_step_inputs(coords: np.ndarray, targets: np.ndarray,
-                    block_rows: int) -> tuple[jax.Array, jax.Array, int]:
-    """(n, d) coords + (n, 1) targets -> kernel-padded device arrays.
-    Done ONCE per fit; padded target rows are zero and masked in-kernel."""
+                    block_rows: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(n, d) coords + (n, 1) targets -> kernel-padded HOST arrays.
+
+    Done ONCE per fit; padded target rows are zero and masked in-kernel.
+    Returns numpy on purpose: callers close the shared coordinate grid over
+    jitted steps, and a closed-over DEVICE array becomes an MLIR constant
+    whose value is fetched device->host at lowering time — on the axon
+    tunnel that fetch serializes behind pending device work (the r2 "218 s
+    compile"; tests/test_lowering.py pins the rule)."""
     n, d = coords.shape
     n_pad = _round_up(max(n, block_rows), block_rows)
     cp = np.zeros((n_pad, _MAX_SMALL_IN), dtype=np.float32)
     cp[:n, :d] = np.asarray(coords, dtype=np.float32)
     tp = np.zeros((n_pad, 1), dtype=np.float32)
     tp[:n] = np.asarray(targets, dtype=np.float32).reshape(n, 1)
-    return jnp.asarray(cp), jnp.asarray(tp), n
+    return cp, tp, n
 
 
 def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,

@@ -233,8 +233,10 @@ def fit(model: INRModel,
                                              make_fused_mse_train_step,
                                              pad_step_inputs)
         ctx = model.fused_step_ctx
-        coords_d, targets_d, n_valid = pad_step_inputs(coords, targets,
-                                                       block)
+        cp, tp, n_valid = pad_step_inputs(coords, targets, block)
+        # run() ARGUMENTS (not closures): device residency is safe and
+        # avoids re-uploading the grid every scan round
+        coords_d, targets_d = jnp.asarray(cp), jnp.asarray(tp)
         weight_d = None
         fstep = make_fused_mse_train_step(
             ctx["cfg"], cfg, n_valid, block, rff_b=ctx["rff_b"],

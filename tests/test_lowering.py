@@ -90,6 +90,25 @@ def test_multi_inr_fit_and_decode_lower_without_device_constants(
     assert out.shape == sig.shape
 
 
+def test_multi_inr_fused_step_lowers_without_device_constants(
+        no_device_constants):
+    """The whole-step fused path closes the padded coordinate grid over the
+    vmapped kernel step (pad_step_inputs) — it must stay host numpy."""
+    sig = 0.8 * _sine(0.04, 880)
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        first_omega_0=150.0, hidden_features=16, num_sine=1, num_snake=0),
+        fused=True, interpret=True)
+    from inraudio_tpu.train.loop import fused_step_plan
+    tc = TrainConfig(total_steps=10, scan_chunk=5, grad_clip_norm=1.0)
+    assert fused_step_plan(model, tc, 882) is not None
+    res = multi_inr_fit(
+        model, sig, FS,
+        MultiINRConfig(chunk_seconds=0.02, overlap_fraction=0.25),
+        tc, key=jax.random.PRNGKey(0), mesh=make_mesh(jax.devices()[:1]))
+    out = multi_inr_decode(model, res)
+    assert out.shape == sig.shape
+
+
 def test_random_plane_lowers_without_device_constants(no_device_constants):
     model = _tiny_model()
     params = model.init(jax.random.PRNGKey(0))
