@@ -128,6 +128,12 @@ def main(argv=None) -> int:
     dec.add_argument("--upsample", type=int, default=1,
                      help="decode on an N-times denser grid "
                           "(INR bandwidth extension)")
+    dec.add_argument("--start", type=float, default=None,
+                     help="random-access decode: range start in seconds "
+                          "(only the chunks overlapping [start, stop) are "
+                          "evaluated — O(range) seek)")
+    dec.add_argument("--stop", type=float, default=None,
+                     help="random-access decode: range stop in seconds")
 
     fm = sub.add_parser(
         "fit-multi",
@@ -181,11 +187,21 @@ def main(argv=None) -> int:
         stats["path"] = path
         print(json.dumps(stats))
     elif args.cmd == "decode":
-        from .codec import decode as _dec, load_inr
+        from .codec import decode as _dec, decode_range, load_inr
         from .data.audio_io import write_wav
-        fs, rec = _dec(load_inr(args.input), fused=args.fused,
-                       upsample=args.upsample,
-                       max_chunks_per_batch=args.max_chunks or None)
+        if (args.start is None) != (args.stop is None):
+            ap.error("--start and --stop must be given together")
+        if args.start is not None:
+            if args.upsample != 1:
+                ap.error("--start/--stop do not compose with --upsample")
+            fs, rec = decode_range(load_inr(args.input), args.start,
+                                   args.stop, fused=args.fused,
+                                   max_chunks_per_batch=args.max_chunks
+                                   or None)
+        else:
+            fs, rec = _dec(load_inr(args.input), fused=args.fused,
+                           upsample=args.upsample,
+                           max_chunks_per_batch=args.max_chunks or None)
         write_wav(args.output, fs, rec)
         print(json.dumps({"path": args.output, "sample_rate": fs,
                           "samples": int(len(rec))}))

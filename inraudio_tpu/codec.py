@@ -33,7 +33,8 @@ from .models import (SirenSnakeTanhConfig, build_model,
                      dequantize_params, param_bytes, quantize_params)
 from .train.loop import TrainConfig
 from .train.multi_inr import (MultiINRConfig, batched_chunk_eval,
-                              chunk_signal, multi_inr_fit, stitch_chunks)
+                              chunk_signal, decode_chunk_range,
+                              multi_inr_fit, stitch_chunks)
 from .train.optim import AdamConfig, adam_init, adam_update
 
 # v2: quantization is sensitivity-aware (layer-0 weights/biases stay
@@ -289,22 +290,7 @@ def decode(payload: dict[str, Any], fused: bool = False,
     upsampled rate.  ``max_chunks_per_batch`` bounds device memory for
     long clips (same knob as ``multi_inr_fit``).
     """
-    meta = payload["meta"]
-    if meta.get("format") != _FORMAT:
-        raise ValueError(
-            f"unsupported payload format {meta.get('format')!r}: this build "
-            f"reads {_FORMAT} only (older payloads, e.g. v1's uniform leaf "
-            "quantization, must be re-encoded from the source audio)")
-    m = meta["model"]
-    model_cfg = SirenSnakeTanhConfig(
-        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
-        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
-        hidden_omega_0=m["hidden_omega_0"])
-    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
-    params = payload["params"]
-    if meta.get("quantize"):
-        params = dequantize_inr_params(params)
-    params = jax.tree.map(jnp.asarray, params)
+    meta, model, params = _payload_model_params(payload, fused)
 
     u = max(1, int(upsample))
     n0 = meta["chunk_length"]
@@ -324,6 +310,54 @@ def decode(payload: dict[str, Any], fused: bool = False,
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
     return (meta["sample_rate"] * u,
             stitch_chunks(outs, hop, meta["signal_length"] * u))
+
+
+def _payload_model_params(payload: dict[str, Any], fused: bool):
+    """Validate the payload header and rebuild (meta, model, device params)
+    — shared by ``decode`` and ``decode_range``."""
+    meta = payload["meta"]
+    if meta.get("format") != _FORMAT:
+        raise ValueError(
+            f"unsupported payload format {meta.get('format')!r}: this build "
+            f"reads {_FORMAT} only (older payloads, e.g. v1's uniform leaf "
+            "quantization, must be re-encoded from the source audio)")
+    m = meta["model"]
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
+        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
+        hidden_omega_0=m["hidden_omega_0"])
+    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
+    params = payload["params"]
+    if meta.get("quantize"):
+        params = dequantize_inr_params(params)
+    return meta, model, jax.tree.map(jnp.asarray, params)
+
+
+def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
+                 fused: bool = False,
+                 max_chunks_per_batch: int | None = None
+                 ) -> tuple[int, np.ndarray]:
+    """Random-access decode of ``[start_s, stop_s)`` seconds straight from
+    the compressed payload -> (sample_rate, waveform slice).
+
+    Only the INR chunks overlapping the requested range are evaluated, so
+    seeking into an arbitrarily long file costs O(range) — a capability
+    frame-based codecs (and the reference's whole-clip decode,
+    run.py:249-296) don't have.  Matches the corresponding slice of
+    ``decode(payload)`` to ~1 ulp (see
+    ``train.multi_inr.decode_chunk_range``).
+    """
+    meta, model, params = _payload_model_params(payload, fused)
+    sr = meta["sample_rate"]
+    n0 = meta["chunk_length"]
+    coords = np.asarray(get_coord(n0, dim=1), np.float32)  # host const
+    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    wav = decode_chunk_range(
+        fn, params, np.asarray(payload["scales"], np.float32), n0,
+        meta["hop"], meta["num_chunks"], meta["signal_length"],
+        int(round(start_s * sr)), int(round(stop_s * sr)),
+        max_chunks_per_batch)
+    return sr, wav
 
 
 def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:

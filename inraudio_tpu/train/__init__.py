@@ -4,8 +4,8 @@ from .loop import (FitResult, TrainConfig, TrainState, fit, init_train_state,
 from .losses import (mae, mix_loss, mse, multi_resolution_stft_loss, snr_loss,
                      stft_loss, weighted_mse)
 from .multi_inr import (MultiINRConfig, MultiINRResult, chunk_signal,
-                        multi_inr_decode, multi_inr_fit,
-                        multi_inr_fit_many, stitch_chunks)
+                        multi_inr_decode, multi_inr_decode_range,
+                        multi_inr_fit, multi_inr_fit_many, stitch_chunks)
 from .optim import (AdamConfig, AdamState, PlateauConfig, PlateauState,
                     adam_init, adam_update, plateau_init, plateau_update)
 
@@ -18,5 +18,6 @@ __all__ = [
     "adam_init", "adam_update", "plateau_init", "plateau_update",
     "save_checkpoint", "load_checkpoint", "checkpoint_extra",
     "MultiINRConfig", "MultiINRResult", "chunk_signal", "multi_inr_fit",
-    "multi_inr_fit_many", "multi_inr_decode", "stitch_chunks",
+    "multi_inr_fit_many", "multi_inr_decode",
+    "multi_inr_decode_range", "stitch_chunks",
 ]

@@ -351,6 +351,57 @@ def batched_chunk_eval(fn, params, k: int,
     return np.concatenate(pieces, axis=0)
 
 
+def decode_chunk_range(fn, params, scales: np.ndarray, n: int, hop: int,
+                       k: int, signal_length: int, start: int, stop: int,
+                       max_chunks_per_batch: int | None = None) -> np.ndarray:
+    """Random-access decode of samples ``[start, stop)``: evaluate ONLY the
+    chunks whose windows overlap the range and stitch them locally.
+
+    Work is O(stop - start), independent of clip length — an INR seeks in
+    constant time where a frame-based codec must roll forward from the
+    previous keyframe (the reference can only decode whole clips,
+    run.py:249-296).  The selected chunk set ``[i_lo, i_hi]`` is exactly
+    the covering set of every sample in the range, and ``stitch_chunks``
+    accumulates the same contributions in the same order as the full
+    decode, so the result equals ``full_decode[start:stop]`` up to ~1 ulp
+    (XLA may vectorize the smaller vmapped eval batch differently).
+
+    ``fn`` is a jitted vmapped per-chunk dense eval returning ``(k, n, 1)``;
+    ``params`` the stacked per-chunk pytree (chunk axis 0).
+    """
+    start = int(max(0, min(start, signal_length)))
+    stop = int(max(start, min(stop, signal_length)))
+    if stop == start:
+        return np.zeros((0,), np.float32)
+    # smallest i with i*hop + n > start; largest i with i*hop < stop
+    i_lo = max(0, (start - n) // hop + 1)
+    i_hi = min(k - 1, (stop - 1) // hop)
+    ksel = i_hi - i_lo + 1
+    sel = jax.tree.map(lambda x: x[i_lo:i_hi + 1], params)
+    outs = batched_chunk_eval(fn, sel, ksel, max_chunks_per_batch)
+    outs = np.asarray(outs)[:ksel, :, 0] * scales[i_lo:i_hi + 1, None]
+    local = stitch_chunks(outs, hop, stop - i_lo * hop)
+    return local[start - i_lo * hop:]
+
+
+def multi_inr_decode_range(model: INRModel, result: MultiINRResult,
+                           start: int, stop: int,
+                           track_best: bool = True,
+                           max_chunks_per_batch: int | None = None
+                           ) -> np.ndarray:
+    """Decode only samples ``[start, stop)`` of the fitted clip — see
+    ``decode_chunk_range`` (bit-identical to slicing the full decode)."""
+    n = result.chunk_length
+    coords = np.asarray(get_coord(n, dim=1), np.float32)  # host const
+    params = (result.states.best_params if track_best
+              else result.states.params)
+    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    return decode_chunk_range(fn, params, result.chunk_scales, n,
+                              result.hop, result.num_chunks,
+                              result.signal_length, start, stop,
+                              max_chunks_per_batch)
+
+
 def multi_inr_decode(model: INRModel, result: MultiINRResult,
                      track_best: bool = True,
                      max_chunks_per_batch: int | None = None) -> np.ndarray:

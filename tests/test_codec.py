@@ -181,3 +181,70 @@ def test_quantize_per_row_scale_shapes():
     step = np.asarray(q["scale"])
     assert np.max(np.abs(np.asarray(dq) - np.asarray(w))
                   / np.maximum(step, 1e-12)) <= 0.5 + 1e-6
+
+
+def test_decode_range_matches_full_slice(tmp_path):
+    """Random-access decode equals slicing the full decode (to ~1 ulp —
+    XLA vectorizes the smaller eval batch differently): the selected chunk
+    window is exactly the covering set and the stitch order is unchanged
+    (codec.decode_range / multi_inr.decode_chunk_range)."""
+    from inraudio_tpu.codec import decode_range
+
+    sig = _sig()  # 0.5 s @ 4 kHz, 0.1 s chunks, 25% overlap -> 6+ chunks
+    payload = encode(sig, FS, SMALL)
+    _, full = decode(payload)
+
+    # interior range spanning several chunk boundaries
+    fs, part = decode_range(payload, 0.12, 0.34)
+    a, b = int(round(0.12 * FS)), int(round(0.34 * FS))
+    assert fs == FS
+    ulp = dict(rtol=0, atol=1e-6)
+    np.testing.assert_allclose(part, full[a:b], **ulp)
+
+    # clip start / clip end / whole clip (stop clamped to signal length)
+    np.testing.assert_allclose(
+        decode_range(payload, 0.0, 0.05)[1], full[: int(round(0.05 * FS))],
+        **ulp)
+    np.testing.assert_allclose(
+        decode_range(payload, 0.45, 99.0)[1], full[int(round(0.45 * FS)):],
+        **ulp)
+    np.testing.assert_allclose(decode_range(payload, 0.0, 99.0)[1], full,
+                               **ulp)
+
+    # empty / inverted ranges decode to nothing
+    assert decode_range(payload, 0.3, 0.3)[1].shape == (0,)
+    assert decode_range(payload, 0.4, 0.2)[1].shape == (0,)
+
+    # batched evaluation takes the same path
+    np.testing.assert_allclose(
+        decode_range(payload, 0.12, 0.34, max_chunks_per_batch=2)[1],
+        full[a:b], **ulp)
+
+    # CLI surface
+    from inraudio_tpu.__main__ import main
+    from inraudio_tpu.data.audio_io import read_wav
+    inr = save_inr(str(tmp_path / "x.inr"), payload)
+    out = str(tmp_path / "seg.wav")
+    rc = main(["decode", "--input", inr, "--output", out,
+               "--start", "0.12", "--stop", "0.34"])
+    assert rc == 0
+    _, seg = read_wav(out, channel=0)
+    np.testing.assert_allclose(seg, full[a:b], atol=2e-4)  # wav quantization
+
+
+def test_multi_inr_decode_range():
+    """Library-level range decode on a MultiINRResult (no codec payload)."""
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    from inraudio_tpu.train import (MultiINRConfig, TrainConfig,
+                                    multi_inr_decode,
+                                    multi_inr_decode_range, multi_inr_fit)
+
+    sig = _sig(0.4)
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        hidden_features=24, first_omega_0=200.0))
+    res = multi_inr_fit(model, sig, FS,
+                        MultiINRConfig(chunk_seconds=0.1),
+                        TrainConfig(total_steps=60))
+    full = multi_inr_decode(model, res)
+    part = multi_inr_decode_range(model, res, 300, 1100)
+    np.testing.assert_allclose(part, full[300:1100], rtol=0, atol=1e-6)
