@@ -117,6 +117,10 @@ def main(argv=None) -> int:
                      help="train the chunk population in batches of this "
                           "size (bounds device memory for long inputs; "
                           "0 = all at once)")
+    enc.add_argument("--all-channels", action="store_true",
+                     help="encode every channel of a multichannel file "
+                          "(one stacked chunk population, single launch); "
+                          "default keeps channel 0 like the reference")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
@@ -170,7 +174,8 @@ def main(argv=None) -> int:
         from .data.audio_io import read_wav
         from .dsp import calculate_snr
         from .codec import decode as _dec
-        fs, sig = read_wav(args.input, channel=0)
+        fs, sig = read_wav(args.input,
+                           channel=None if args.all_channels else 0)
         payload = encode(sig.astype(np.float32), fs, CodecConfig(
             chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
             hidden_features=args.hidden, first_omega_0=args.omega,

@@ -34,7 +34,7 @@ from .models import (SirenSnakeTanhConfig, build_model,
 from .train.loop import TrainConfig
 from .train.multi_inr import (MultiINRConfig, batched_chunk_eval,
                               chunk_signal, decode_chunk_range,
-                              multi_inr_fit, stitch_chunks)
+                              multi_inr_fit_many, stitch_chunks)
 from .train.optim import AdamConfig, adam_init, adam_update
 
 # v2: quantization is sensitivity-aware (layer-0 weights/biases stay
@@ -217,8 +217,14 @@ def encode(signal: np.ndarray, sample_rate: int,
            cfg: CodecConfig | None = None) -> dict[str, Any]:
     """Fit the multi-INR and return the codec payload (in-memory dict).
 
-    Keys: 'meta' (json-able header), 'scales' (k,), and per-leaf arrays of
-    the stacked per-chunk parameter pytree (quantized if requested).
+    ``signal`` is (n,) mono or (n, c) multichannel: every channel's chunks
+    join ONE vmapped population (the chunk axis is a batch axis on the
+    MXU — stereo costs one launch, not two; the reference drops all but
+    one channel, utils.py:113-115).
+
+    Keys: 'meta' (json-able header), 'scales' (c*k,), and per-leaf arrays
+    of the stacked per-chunk parameter pytree (quantized if requested),
+    chunk axis ordered channel-major: chunk i of channel j at row j*k+i.
     """
     cfg = cfg or CodecConfig()
     model_cfg = SirenSnakeTanhConfig(
@@ -227,26 +233,36 @@ def encode(signal: np.ndarray, sample_rate: int,
         hidden_omega_0=cfg.hidden_omega_0)
     model = build_model("mlp", model_cfg, fused=cfg.fused,
                         approx_sin=cfg.fused)
-    res = multi_inr_fit(
-        model, np.asarray(signal, np.float32), sample_rate,
-        MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
-                       overlap_fraction=cfg.overlap_fraction),
+    sig = np.asarray(signal, np.float32)
+    if sig.ndim == 2 and sig.shape[1] == 1:
+        sig = sig[:, 0]
+    chans = ([sig] if sig.ndim == 1
+             else [np.ascontiguousarray(sig[:, j])
+                   for j in range(sig.shape[1])])
+    mcfg = MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
+                          overlap_fraction=cfg.overlap_fraction)
+    results = multi_inr_fit_many(
+        model, chans, sample_rate, mcfg,
         TrainConfig(total_steps=cfg.total_steps,
                     learning_rate=cfg.learning_rate,
                     grad_clip_norm=cfg.grad_clip_norm),
         key=jax.random.PRNGKey(cfg.seed),
         max_chunks_per_batch=cfg.max_chunks_per_batch)
+    res = results[0]
 
-    # best params per chunk, real chunks only
-    params = jax.tree.map(lambda x: np.asarray(x)[: res.num_chunks],
-                          jax.device_get(res.states.best_params))
+    # best params, channel-major chunk stack, real chunks only
+    per_ch = [jax.tree.map(lambda x: np.asarray(x)[: r.num_chunks],
+                           jax.device_get(r.states.best_params))
+              for r in results]
+    params = (per_ch[0] if len(per_ch) == 1 else
+              jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *per_ch))
+    scales = np.concatenate(
+        [r.chunk_scales[: r.num_chunks] for r in results])
     if cfg.quantize and cfg.refit_steps > 0:
-        chunks, n, _hop = chunk_signal(
-            np.asarray(signal, np.float32), sample_rate,
-            MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
-                           overlap_fraction=cfg.overlap_fraction))
-        targets = (chunks[: res.num_chunks]
-                   / res.chunk_scales[: res.num_chunks, None])[..., None]
+        n = res.chunk_length
+        chunks = np.concatenate(
+            [chunk_signal(ch, sample_rate, mcfg)[0] for ch in chans], axis=0)
+        targets = (chunks / scales[:, None])[..., None]
         stored = quantization_aware_refit(
             model, params, cfg.quantize, targets,
             np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr,
@@ -265,6 +281,7 @@ def encode(signal: np.ndarray, sample_rate: int,
         "chunk_length": int(res.chunk_length),
         "hop": int(res.hop),
         "num_chunks": int(res.num_chunks),
+        "num_channels": len(chans),
         "quantize": cfg.quantize,
         "per_row_scales": bool(cfg.per_row_scales),
         "model": {
@@ -274,7 +291,7 @@ def encode(signal: np.ndarray, sample_rate: int,
             "hidden_omega_0": cfg.hidden_omega_0,
         },
     }
-    return {"meta": meta, "scales": res.chunk_scales.astype(np.float32),
+    return {"meta": meta, "scales": scales.astype(np.float32),
             "params": stored}
 
 
@@ -304,12 +321,17 @@ def decode(payload: dict[str, Any], fused: bool = False,
         j = np.arange(n0 * u, dtype=np.float64)
         coords = (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32)
     hop = meta["hop"] * u
+    c = int(meta.get("num_channels", 1))
+    k = meta["num_chunks"]
     fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
-    outs = batched_chunk_eval(fn, params, meta["num_chunks"],
-                              max_chunks_per_batch)
+    outs = batched_chunk_eval(fn, params, c * k, max_chunks_per_batch)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
-    return (meta["sample_rate"] * u,
-            stitch_chunks(outs, hop, meta["signal_length"] * u))
+    length = meta["signal_length"] * u
+    if c == 1:
+        return meta["sample_rate"] * u, stitch_chunks(outs, hop, length)
+    wav = np.stack([stitch_chunks(outs[j * k:(j + 1) * k], hop, length)
+                    for j in range(c)], axis=1)
+    return meta["sample_rate"] * u, wav
 
 
 def _payload_model_params(payload: dict[str, Any], fused: bool):
@@ -350,14 +372,18 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
     meta, model, params = _payload_model_params(payload, fused)
     sr = meta["sample_rate"]
     n0 = meta["chunk_length"]
+    c = int(meta.get("num_channels", 1))
+    k = meta["num_chunks"]
+    scales = np.asarray(payload["scales"], np.float32)
     coords = np.asarray(get_coord(n0, dim=1), np.float32)  # host const
     fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
-    wav = decode_chunk_range(
-        fn, params, np.asarray(payload["scales"], np.float32), n0,
-        meta["hop"], meta["num_chunks"], meta["signal_length"],
-        int(round(start_s * sr)), int(round(stop_s * sr)),
-        max_chunks_per_batch)
-    return sr, wav
+    a, b = int(round(start_s * sr)), int(round(stop_s * sr))
+    chans = [decode_chunk_range(
+        fn, jax.tree.map(lambda x: x[j * k:(j + 1) * k], params),
+        scales[j * k:(j + 1) * k], n0, meta["hop"], k,
+        meta["signal_length"], a, b, max_chunks_per_batch)
+        for j in range(c)]
+    return sr, (chans[0] if c == 1 else np.stack(chans, axis=1))
 
 
 def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:
@@ -421,7 +447,8 @@ def compression_stats(payload: dict[str, Any],
     ``path``: a file written by ``save_inr`` — adds the ON-DISK numbers
     (the .npz is deflate-compressed, so int8 payloads shrink further)."""
     nbytes = param_bytes(payload["params"]) + payload["scales"].nbytes
-    n = payload["meta"]["signal_length"]
+    n = (payload["meta"]["signal_length"]
+         * int(payload["meta"].get("num_channels", 1)))
     pcm16 = 2 * n
     stats = {"param_bytes": float(nbytes),
              "bits_per_sample": 8.0 * nbytes / n,

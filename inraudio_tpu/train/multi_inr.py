@@ -126,9 +126,19 @@ def multi_inr_fit(model: INRModel,
     key = key if key is not None else jax.random.PRNGKey(0)
     chunks, n, hop = chunk_signal(np.asarray(signal, dtype=np.float32),
                                   sample_rate, cfg)
+    return _fit_chunks(model, chunks, n, hop, len(signal), cfg, train_cfg,
+                       key, mesh, metrics, max_chunks_per_batch)
+
+
+def _fit_chunks(model, chunks, n, hop, signal_length, cfg, train_cfg, key,
+                mesh, metrics, max_chunks_per_batch) -> MultiINRResult:
+    """Train a (k, n) chunk population, optionally in fixed-size padded
+    batches (the ``max_chunks_per_batch`` memory bound) — shared by
+    ``multi_inr_fit`` and ``multi_inr_fit_many``."""
+    key = key if key is not None else jax.random.PRNGKey(0)
     k = chunks.shape[0]
     if not max_chunks_per_batch or k <= max_chunks_per_batch:
-        return _fit_chunk_population(model, chunks, n, hop, len(signal),
+        return _fit_chunk_population(model, chunks, n, hop, signal_length,
                                      cfg, train_cfg, key, mesh,
                                      metrics=metrics)
     kb = max_chunks_per_batch
@@ -155,7 +165,7 @@ def multi_inr_fit(model: INRModel,
         states=states,
         chunk_scales=np.concatenate([p[1] for p in parts]),
         chunk_length=n, hop=hop, num_chunks=k,
-        signal_length=len(signal),
+        signal_length=signal_length,
         loss_history=np.concatenate([p[2] for p in parts], axis=1),
         train_time_s=sum(p[3] for p in parts))
 
@@ -167,7 +177,9 @@ def multi_inr_fit_many(model: INRModel,
                        train_cfg: TrainConfig | None = None,
                        key: jax.Array | None = None,
                        mesh=None,
-                       metrics=None) -> list[MultiINRResult]:
+                       metrics=None,
+                       max_chunks_per_batch: int | None = None
+                       ) -> list[MultiINRResult]:
     """Fit SEVERAL clips at once: their chunk populations concatenate into
     one vmapped batch, trained in a single scan.
 
@@ -189,8 +201,8 @@ def multi_inr_fit_many(model: INRModel,
                              cfg) for s in signals]
     n, hop = per_clip[0][1], per_clip[0][2]
     chunks = np.concatenate([c for c, _, _ in per_clip], axis=0)
-    res = _fit_chunk_population(model, chunks, n, hop, chunks.shape[0] * n,
-                                cfg, train_cfg, key, mesh, metrics=metrics)
+    res = _fit_chunks(model, chunks, n, hop, chunks.shape[0] * n, cfg,
+                      train_cfg, key, mesh, metrics, max_chunks_per_batch)
     # split the stacked states/scales back per clip
     out = []
     start = 0

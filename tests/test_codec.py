@@ -248,3 +248,58 @@ def test_multi_inr_decode_range():
     full = multi_inr_decode(model, res)
     part = multi_inr_decode_range(model, res, 300, 1100)
     np.testing.assert_allclose(part, full[300:1100], rtol=0, atol=1e-6)
+
+
+def test_stereo_encode_decode(tmp_path):
+    """Multichannel codec: every channel's chunks join ONE vmapped
+    population (channel-major stack), decode returns (n, c), range decode
+    matches the full slice, and byte accounting counts all channels."""
+    from inraudio_tpu.codec import decode_range
+
+    sig = np.stack([_sig(0.4, 220.0), _sig(0.4, 347.0)], axis=1)
+    cfg = CodecConfig(**{**SMALL.__dict__, "max_chunks_per_batch": 3})
+    payload = encode(sig, FS, cfg)
+    assert payload["meta"]["num_channels"] == 2
+    k = payload["meta"]["num_chunks"]
+    assert payload["scales"].shape == (2 * k,)
+
+    fs, rec = decode(payload)
+    assert fs == FS and rec.shape == sig.shape
+    for j in range(2):
+        snr = 10 * np.log10(np.sum(sig[:, j] ** 2)
+                            / np.sum((sig[:, j] - rec[:, j]) ** 2))
+        assert snr > 25, (j, snr)
+
+    # random access on a stereo payload -> (range, 2)
+    a, b = int(round(0.1 * FS)), int(round(0.3 * FS))
+    _, part = decode_range(payload, 0.1, 0.3)
+    assert part.shape == (b - a, 2)
+    np.testing.assert_allclose(part, rec[a:b], rtol=0, atol=1e-6)
+
+    # file round trip preserves channels
+    path = save_inr(str(tmp_path / "st.inr"), payload)
+    _, rec2 = decode(load_inr(path))
+    np.testing.assert_allclose(rec2, rec, atol=1e-6)
+
+    # bits/sample uses n*c: stereo doubles chunks AND samples -> ~equal bps
+    st_m = compression_stats(encode(sig[:, 0], FS, SMALL))
+    st_s = compression_stats(payload)
+    assert abs(st_s["bits_per_sample"]
+               - st_m["bits_per_sample"]) < 0.05 * st_m["bits_per_sample"]
+
+
+def test_cli_all_channels(tmp_path):
+    from inraudio_tpu.__main__ import main
+    from inraudio_tpu.data.audio_io import read_wav, write_wav
+    wav = str(tmp_path / "st.wav")
+    write_wav(wav, FS, np.stack([_sig(0.2), _sig(0.2, 300.0)], axis=1))
+    out = str(tmp_path / "st.inr.npz")
+    rc = main(["encode", "--input", wav, "--output", out, "--all-channels",
+               "--chunk-s", "0.1", "--hidden", "24", "--omega", "200",
+               "--total-steps", "150", "--quantize", "none"])
+    assert rc == 0
+    dec = str(tmp_path / "st_out.wav")
+    rc = main(["decode", "--input", out, "--output", dec])
+    assert rc == 0
+    _, back = read_wav(dec)
+    assert back.ndim == 2 and back.shape[1] == 2

@@ -6,6 +6,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
 from inraudio_tpu.utils import (MetricsLogger, StepTimer, random_plane,
@@ -95,3 +96,38 @@ class TestPlots:
         # PNG magic bytes
         with open(paths["spec"], "rb") as f:
             assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+class TestQualityMetrics:
+    """si_snr / log_spectral_distance (beyond-reference eval metrics)."""
+
+    def test_si_snr_scale_invariant(self):
+        from inraudio_tpu.eval import si_snr
+        rng = np.random.default_rng(0)
+        s = rng.standard_normal(4096).astype(np.float32)
+        noisy = s + 0.01 * rng.standard_normal(4096).astype(np.float32)
+        base = si_snr(s, noisy)
+        assert abs(si_snr(s, 3.7 * noisy) - base) < 1e-3   # gain-invariant
+        assert si_snr(s, s) > 80                           # exact -> huge
+        assert base > 30                                   # ~40 dB noise
+
+    def test_si_snr_tracks_noise_level(self):
+        from inraudio_tpu.eval import si_snr
+        rng = np.random.default_rng(1)
+        s = rng.standard_normal(4096).astype(np.float32)
+        n = rng.standard_normal(4096).astype(np.float32)
+        quiet = si_snr(s, s + 0.01 * n)
+        loud = si_snr(s, s + 0.1 * n)
+        assert quiet - loud == pytest.approx(20.0, abs=1.0)  # 10x noise
+
+    def test_lsd_zero_for_identical_and_orders_distortion(self):
+        from inraudio_tpu.eval import log_spectral_distance
+        fs = 4000
+        t = np.arange(2 * fs) / fs
+        s = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        assert log_spectral_distance(s, s) < 1e-3
+        mild = (s + 0.01 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+        harsh = (s + 0.3 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+        d_mild = log_spectral_distance(s, mild)
+        d_harsh = log_spectral_distance(s, harsh)
+        assert 0 < d_mild < d_harsh
