@@ -117,6 +117,12 @@ def main(argv=None) -> int:
                      help="train the chunk population in batches of this "
                           "size (bounds device memory for long inputs; "
                           "0 = all at once)")
+    enc.add_argument("--target-bps", type=float, default=None,
+                     help="pick chunk length / width / quantization from "
+                          "the measured rate-distortion frontier to fit "
+                          "this bits/sample budget (calibrated on "
+                          "44.1 kHz material; overrides --chunk-s, "
+                          "--hidden, --omega, --quantize, --refit-steps)")
     enc.add_argument("--all-channels", action="store_true",
                      help="encode every channel of a multichannel file "
                           "(one stacked chunk population, single launch); "
@@ -176,14 +182,18 @@ def main(argv=None) -> int:
         from .codec import decode as _dec
         fs, sig = read_wav(args.input,
                            channel=None if args.all_channels else 0)
-        payload = encode(sig.astype(np.float32), fs, CodecConfig(
+        cfg = CodecConfig(
             chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
             hidden_features=args.hidden, first_omega_0=args.omega,
             learning_rate=args.learning_rate, total_steps=args.total_steps,
             quantize=None if args.quantize == "none" else args.quantize,
             per_row_scales=args.per_row_scales,
             fused=args.fused, refit_steps=args.refit_steps,
-            max_chunks_per_batch=args.max_chunks or None))
+            max_chunks_per_batch=args.max_chunks or None)
+        if args.target_bps is not None:
+            from .codec import config_for_bitrate
+            cfg = config_for_bitrate(args.target_bps, base=cfg)
+        payload = encode(sig.astype(np.float32), fs, cfg)
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
         stats = compression_stats(payload, path)

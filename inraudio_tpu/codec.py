@@ -76,6 +76,47 @@ class CodecConfig:
     max_chunks_per_batch: int | None = None
 
 
+# Measured rate-distortion frontier on gt_bach.wav (44.1 kHz; BASELINE.md
+# codec table + r3 frontier scan, scripts/bench_codec_rd.py): on-disk
+# bits/sample -> the knobs that won that operating point.  int8 at reduced
+# width strictly dominates int4 at larger width on the 2-4.5 bps frontier.
+_RD_POINTS: tuple[tuple[float, dict[str, Any]], ...] = (
+    (2.1, dict(chunk_seconds=0.5, hidden_features=32,
+               quantize="int8", refit_steps=400)),
+    (2.6, dict(chunk_seconds=0.5, hidden_features=36,
+               quantize="int8", refit_steps=400)),
+    (3.1, dict(chunk_seconds=0.5, hidden_features=40,
+               quantize="int8", refit_steps=400)),
+    (4.5, dict(chunk_seconds=0.5, hidden_features=48, quantize="int8")),
+    (8.3, dict(chunk_seconds=0.5, hidden_features=48, quantize="float16")),
+    (56.0, dict(chunk_seconds=0.25, hidden_features=128, quantize="int8")),
+    (109.0, dict(chunk_seconds=0.25, hidden_features=128,
+                 quantize="float16")),
+    (274.0, dict(chunk_seconds=0.1, hidden_features=128,
+                 first_omega_0=1000.0, learning_rate=1e-3,
+                 quantize="float16")),
+)
+
+
+def config_for_bitrate(target_bits_per_sample: float,
+                       base: CodecConfig | None = None) -> CodecConfig:
+    """Pick the measured operating point with the highest SNR whose
+    bits/sample fits the target (the cheapest point if none fits).
+
+    The frontier was calibrated on 44.1 kHz material (BASELINE.md
+    rate-distortion table); bits/sample scales inversely with the sample
+    rate at fixed ``chunk_seconds``, so treat the target as approximate
+    for other rates.  ``base`` carries every knob the table doesn't set
+    (fused, seed, max_chunks_per_batch, ...).
+    """
+    base = base or CodecConfig()
+    chosen = _RD_POINTS[0][1]
+    for bps, knobs in _RD_POINTS:
+        if bps <= target_bits_per_sample * 1.05:
+            chosen = knobs
+    return dataclasses.replace(base, **chosen)
+
+
 def quantize_inr_params(params: Any, mode: str,
                         per_row: bool = False) -> Any:
     """Sensitivity-aware quantization of (stacked) SirenWithSnakeTanh params.

@@ -28,10 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_WAV = "/root/reference/gt_bach.wav"
 
 # ---------------------------------------------------------------------------
-# fast/slow split: `pytest -m fast` is the quick gate (< ~3 min); the full
-# suite (interpret-mode Pallas kernels + e2e fits) runs in the background.
-# Slow = whole modules that interpret Pallas kernels on CPU, plus individual
-# long e2e tests marked @pytest.mark.slow in place.
+# fast/slow split: `pytest -m fast` is the quick gate (~8 min on the 1-core
+# CPU host; the full suite is ~34 min — r3 measured durations).  Slow =
+# whole modules that interpret Pallas kernels on CPU, plus individual tests
+# over ~20 s (heavy e2e fits/encodes) marked @pytest.mark.slow in place.
 # ---------------------------------------------------------------------------
 import pytest  # noqa: E402
 

@@ -86,6 +86,7 @@ def test_old_format_rejected_with_versioned_error():
 
 
 @pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.slow
 def test_quantization_aware_refit_improves_snr(mode):
     """Refitting the float32 leaves around frozen quantized weights must
     not hurt — and should measurably help at aggressive bit widths."""
@@ -106,6 +107,7 @@ def test_quantization_aware_refit_improves_snr(mode):
         assert s1 > s0 + 1.0, (s0, s1)    # visibly better where it matters
 
 
+@pytest.mark.slow
 def test_batched_encode_decode_long_input():
     """max_chunks_per_batch: device memory bounded for long clips — the
     payload and reconstruction match the unbatched contract."""
@@ -122,6 +124,7 @@ def test_batched_encode_decode_long_input():
     np.testing.assert_allclose(rec, rec_full, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_refit_respects_chunk_batching():
     """quantization_aware_refit with max_chunks_per_batch must produce a
     decodable payload of the same quality class as the unbatched refit
@@ -143,6 +146,7 @@ def test_refit_respects_chunk_batching():
     assert s1 > s0 - 1.0, (s0, s1)
 
 
+@pytest.mark.slow
 def test_per_row_scales_tighten_int4(tmp_path):
     """VERDICT r2 item 7: per-(chunk, output-unit) int4 scales must beat the
     per-chunk scale on reconstruction SNR and survive a file round trip."""
@@ -250,6 +254,7 @@ def test_multi_inr_decode_range():
     np.testing.assert_allclose(part, full[300:1100], rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stereo_encode_decode(tmp_path):
     """Multichannel codec: every channel's chunks join ONE vmapped
     population (channel-major stack), decode returns (n, c), range decode
@@ -288,6 +293,7 @@ def test_stereo_encode_decode(tmp_path):
                - st_m["bits_per_sample"]) < 0.05 * st_m["bits_per_sample"]
 
 
+@pytest.mark.slow
 def test_cli_all_channels(tmp_path):
     from inraudio_tpu.__main__ import main
     from inraudio_tpu.data.audio_io import read_wav, write_wav
@@ -303,3 +309,33 @@ def test_cli_all_channels(tmp_path):
     assert rc == 0
     _, back = read_wav(dec)
     assert back.ndim == 2 and back.shape[1] == 2
+
+
+def test_config_for_bitrate_lookup():
+    """Target-bitrate selection walks the measured RD frontier: highest-SNR
+    point that fits the budget; cheapest point when nothing fits; base
+    knobs the table doesn't set are carried through."""
+    from inraudio_tpu.codec import config_for_bitrate
+
+    # nothing fits 1 bps -> cheapest point (h=32 int8 + refit)
+    c = config_for_bitrate(1.0)
+    assert (c.hidden_features, c.quantize, c.refit_steps) == (32, "int8", 400)
+    # 3.2 bps -> the 3.1 point (h=40 int8 + refit), not the 4.5 one
+    c = config_for_bitrate(3.2)
+    assert (c.hidden_features, c.quantize) == (40, "int8")
+    # 4.5 exactly -> the 4.5 point (5% tolerance)
+    c = config_for_bitrate(4.5)
+    assert (c.hidden_features, c.quantize, c.refit_steps) == (48, "int8", 0)
+    # generous budget -> hi-fi fp16 point
+    c = config_for_bitrate(500.0)
+    assert (c.chunk_seconds, c.quantize) == (0.1, "float16")
+    # base knobs survive
+    base = CodecConfig(fused=True, seed=7, max_chunks_per_batch=16)
+    c = config_for_bitrate(4.5, base=base)
+    assert c.fused and c.seed == 7 and c.max_chunks_per_batch == 16
+    # monotone: bigger budget never picks a lower-rate point
+    budgets = [1, 2.2, 2.7, 3.2, 5, 9, 60, 120, 300]
+    widths = [config_for_bitrate(b).hidden_features for b in budgets]
+    rates = [(config_for_bitrate(b).chunk_seconds,
+              config_for_bitrate(b).hidden_features) for b in budgets]
+    assert rates == sorted(rates, key=lambda t: (-t[0], t[1])), (widths, rates)

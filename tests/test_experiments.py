@@ -46,6 +46,7 @@ class TestExperimentFolder:
 
 
 class TestTrainRunner:
+    @pytest.mark.slow
     def test_wave_end_to_end_bach(self):
         """Short fit of the committed asset: artifacts + JSON schema + SNR
         recorded (reference parameters.json, run.py:365-398)."""
@@ -80,6 +81,7 @@ class TestTrainRunner:
             assert rounds[-1]["step"] == rec["total_steps"]
             assert stream[-1]["snr_db"] == rec["SNR"]
 
+    @pytest.mark.slow
     def test_mdct_end_to_end(self):
         with tempfile.TemporaryDirectory() as d:
             train(d, "m", filename=BACH, duration=0.3, method="mdct", n=512,
@@ -88,6 +90,7 @@ class TestTrainRunner:
                 rec = json.load(f)
             assert np.isfinite(rec["SNR"])
 
+    @pytest.mark.slow
     def test_fft_end_to_end_griffin_lim(self):
         """method='fft' now decodes via Griffin-Lim: output.wav exists and
         the SNR is finite (reference capability stub utils.py:233-310 made
@@ -107,6 +110,7 @@ class TestTrainRunner:
                   **{**FAST, "omega": 30.0, "total_steps": 200})
             assert os.path.exists(os.path.join(d, "r", "output.wav"))
 
+    @pytest.mark.slow
     def test_kan_arch_path(self):
         with tempfile.TemporaryDirectory() as d:
             train(d, "k", filename=BACH, duration=0.1, arch="kan",
@@ -114,6 +118,7 @@ class TestTrainRunner:
             with open(os.path.join(d, "k", "parameters.json")) as f:
                 assert "SNR" in json.load(f)
 
+    @pytest.mark.slow
     def test_kan_with_rff_encoding_decodes(self):
         """Non-mlp arch + num_freq: the decode-time encode closure must
         hold the sampled B (it is captured before rff_b is rebound to
@@ -138,6 +143,7 @@ class TestTrainRunner:
 
 
 class TestTrainFromSignal:
+    @pytest.mark.slow
     def test_returns_residual_contract(self):
         """run_experimental.py:327: {'ckpt','ref','rec','res'} with
         res = input - recovered."""
@@ -174,6 +180,7 @@ class TestProceduralAndBandSplit:
             assert os.path.exists(os.path.join(d, "p_d4"))
             assert os.path.exists(os.path.join(d, "p_d2"))
 
+    @pytest.mark.slow
     def test_band_split(self):
         sig = (_sine(0.1, 440) + 0.3 * _sine(0.1, 12000)).astype(np.float32)
         with tempfile.TemporaryDirectory() as d:
@@ -222,6 +229,7 @@ class TestMultiINR:
         snr = float(calculate_snr(sig, out))
         assert snr > 15, snr
 
+    @pytest.mark.slow
     def test_chunk_axis_shards_over_8_devices(self):
         """Chunk-parallel scaling: 8 fake devices, chunk axis sharded; result
         equals the 1-device fit (chunks are independent — no collectives)."""
@@ -284,6 +292,7 @@ def test_cli_fit_multi(tmp_path):
     assert rec["snr_db"] > 20, rec
 
 
+@pytest.mark.slow
 def test_multi_inr_fused_shard_map_8dev():
     """The fused Pallas apply works on a multi-device mesh: shard_map runs
     each device's kernels on its local chunks (interpret mode on the CPU
@@ -364,6 +373,7 @@ class TestBatchedMultiINR:
         tcfg = TrainConfig(total_steps=400, scan_chunk=100)
         return sig, model, cfg, tcfg
 
+    @pytest.mark.slow
     def test_batched_fit_matches_chunk_count_and_quality(self):
         sig, model, cfg, tcfg = self._setup()
         mesh = make_mesh(jax.devices()[:1])
@@ -380,6 +390,7 @@ class TestBatchedMultiINR:
         assert out.shape == sig.shape
         assert float(calculate_snr(sig, out)) > 15
 
+    @pytest.mark.slow
     def test_batched_decode_is_exact(self):
         """Batched decode of the SAME result must equal unbatched decode."""
         sig, model, cfg, tcfg = self._setup()

@@ -219,6 +219,7 @@ class TestKAN:
         out = model.apply(params, jnp.linspace(-1, 1, 10).reshape(-1, 1))
         assert out.shape == (10, 1)
 
+    @pytest.mark.slow
     def test_gradients_flow(self):
         cfg = KANConfig(layers_hidden=(1, 16, 1))
         model = build_model("kan", cfg)
@@ -359,6 +360,7 @@ class TestKANWholeNetworkUpdateGrid:
     """VERDICT r2 item 6: layer-chained grid refresh (reference
     kan.py:274-279 — KAN.forward(x, update_grid=True))."""
 
+    @pytest.mark.slow
     def test_network_update_preserves_output(self):
         import jax
         import jax.numpy as jnp
@@ -387,6 +389,7 @@ class TestKANWholeNetworkUpdateGrid:
         assert kan.update_grid is not None
         assert mlp.update_grid is None
 
+    @pytest.mark.slow
     def test_fit_with_update_grid_every(self):
         import jax
         import jax.numpy as jnp

@@ -71,6 +71,7 @@ def _assert_state_close(s_ref, s_f, rtol=3e-5, atol=3e-6):
     assert int(s_ref.best_iter) == int(s_f.best_iter)
 
 
+@pytest.mark.slow
 def test_step_matches_autodiff_with_clip():
     tc = TrainConfig(total_steps=5, grad_clip_norm=1.0, plateau_patience=2,
                      plateau_factor=0.5)
@@ -81,12 +82,14 @@ def test_step_matches_autodiff_with_clip():
     _assert_state_close(s_ref, s_f)
 
 
+@pytest.mark.slow
 def test_step_matches_autodiff_no_clip_single_tile():
     tc = TrainConfig(total_steps=3, grad_clip_norm=0.0)
     s_ref, s_f, _, _ = _run_both(CFG, tc, n=512, block=512, steps=3)
     _assert_state_close(s_ref, s_f)
 
 
+@pytest.mark.slow
 def test_step_matches_autodiff_rff():
     f = 16
     rff_b = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (f, 1)),
