@@ -222,34 +222,23 @@ def bench_multi() -> float:
 
     # whole-step fused kernel: fwd+bwd+clip+Adam in ONE Pallas call per
     # chunk (loop.fused_step_plan; INRAUDIO_FUSED_STEP=0 for the A/B)
-    from inraudio_tpu.train.loop import fused_step_plan
+    from inraudio_tpu.train.loop import (fused_step_plan,
+                                         make_vmapped_fused_step)
     block = fused_step_plan(model, tc, n)
     if block is not None:
-        from inraudio_tpu.ops.pallas_siren_step import (
-            flat_state_from_train_state, make_fused_mse_train_step,
-            pad_step_inputs, train_state_from_flat, unflatten_params)
-        ctx = model.fused_step_ctx
-        coords_p, _, _ = pad_step_inputs(coords, np.zeros((n, 1), np.float32),
-                                         block)
-        tp = np.zeros((k, coords_p.shape[0], 1), np.float32)
-        tp[:, :n] = np.asarray(targets)
-        targets = jnp.asarray(tp)
-        fstep = make_fused_mse_train_step(
-            ctx["cfg"], tc, n, block, rff_b=ctx["rff_b"],
-            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
-        vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t), in_axes=(0, 0))
+        # shared wiring (padding + flat-state contract): train/loop.py
+        vstep, to_flat, _from_flat, best_unflatten, pad_targets = \
+            make_vmapped_fused_step(model, tc, coords, block)
+        targets = jnp.asarray(pad_targets(targets, k))
         log(f"fused whole-step kernel: block_rows={block}")
 
         def init_states(seed):
             ks = jax.random.split(jax.random.PRNGKey(seed), k)
             sts = jax.vmap(lambda kk: init_train_state(model, kk, tc))(ks)
-            return jax.vmap(lambda s: flat_state_from_train_state(
-                s, ctx["cfg"], rff=ctx["rff_b"] is not None))(sts)
+            return to_flat(sts)
 
         def best_pytree(states):
-            return jax.vmap(lambda f: unflatten_params(list(f),
-                                                       ctx["cfg"]))(
-                states.best_params)
+            return best_unflatten(states.best_params)
     else:
         train_step = make_train_step(model, tc)
         vstep = jax.vmap(lambda s, t: train_step(s, coords, t),
@@ -353,8 +342,7 @@ def bench_multi() -> float:
             f"(round granularity {ROUND_STEPS} steps)")
 
     if block is not None:
-        states = jax.vmap(lambda s: train_state_from_flat(
-            s, ctx["cfg"]))(states)
+        states = _from_flat(states)
     res = MultiINRResult(states=states, chunk_scales=scales, chunk_length=n,
                          hop=hop, num_chunks=k, signal_length=len(signal),
                          loss_history=np.zeros((1, k)), train_time_s=train_time)
@@ -470,7 +458,9 @@ def bench_full() -> float:
     snap_state, snap_steps, snap_t = None, 0, 0.0
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
         state, losses = run_chunk(state, coords_d, targets_d, weight_d)
-        jax.block_until_ready(losses)
+        # fetch BEFORE reading the clock: this is the real round boundary
+        # (axon block_until_ready returns early; np.asarray does not)
+        last_loss = float(np.asarray(losses[-1]))
         steps += ROUND_STEPS
         t_now = time.time() - t0
         snr = float(snr_now(state, coords_d, targets_d))
@@ -479,10 +469,10 @@ def bench_full() -> float:
             snap_steps, snap_t = steps, t_now
             best_snr = max(best_snr, snr)
         _metrics().log({"event": "round", "mode": "full", "step": steps,
-                     "loss": float(losses[-1]), "snr_db": snr,
+                     "loss": last_loss, "snr_db": snr,
                      "elapsed_s": round(time.time() - t0, 3)})
         log(f"  t={time.time() - t0:5.1f}s steps={steps:6d} "
-            f"loss={float(losses[-1]):.3e} snr={snr:6.2f} dB")
+            f"loss={last_loss:.3e} snr={snr:6.2f} dB")
         if snr >= TARGET_DB:
             break
     if snap_state is not None:

@@ -118,11 +118,14 @@ def main(argv=None) -> int:
                           "size (bounds device memory for long inputs; "
                           "0 = all at once)")
     enc.add_argument("--target-bps", type=float, default=None,
-                     help="pick chunk length / width / quantization from "
-                          "the measured rate-distortion frontier to fit "
-                          "this bits/sample budget (calibrated on "
-                          "44.1 kHz material; overrides --chunk-s, "
-                          "--hidden, --omega, --quantize, --refit-steps)")
+                     help="pick the measured rate-distortion operating "
+                          "point fitting this bits/sample budget "
+                          "(calibrated on 44.1 kHz material).  Pins every "
+                          "calibrated knob: --chunk-s, --overlap, --hidden, "
+                          "--omega, --learning-rate, --quantize, "
+                          "--per-row-scales, --refit-steps; only "
+                          "--total-steps, --fused and --max-chunks pass "
+                          "through")
     enc.add_argument("--all-channels", action="store_true",
                      help="encode every channel of a multichannel file "
                           "(one stacked chunk population, single launch); "

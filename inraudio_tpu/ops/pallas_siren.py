@@ -460,7 +460,9 @@ def auto_decode_kwargs(fit_snr_db: float,
     <~0.5 dB of reconstruction loss.  The reference's production h=256
     default fits at 33.6 dB (BASELINE.md parity row) and lands on the bf16
     tier: 102 Msamples/s at h=256 — decode noise 10 dB under the model's
-    own error.  High-fidelity multi-INR fits (>111 dB) fall through to the
+    own error.  High-fidelity multi-INR fits (fit SNR + margin above the
+    deg-11 tier's 134 dB floor, i.e. >125 dB at the default margin) fall
+    through to the
     exact-sin path.  ``compute_dtype`` is returned as a string for easy
     jit-static use; resolve with ``jnp.dtype`` if needed.
     """

@@ -183,6 +183,51 @@ def fused_step_plan(model: INRModel, cfg: TrainConfig, n_rows: int,
     return step_block_rows(ctx["cfg"], n_rows, rf, cfg.track_best)
 
 
+def make_vmapped_fused_step(model: INRModel, cfg: TrainConfig,
+                            coords: np.ndarray, block: int):
+    """Wire the whole-step fused kernel for a vmapped chunk population.
+
+    Companion to ``fused_step_plan`` (call only when it returned
+    ``block``): pads the shared per-chunk coordinate grid, builds the
+    fused (FlatTrainState, targets) -> (FlatTrainState, (loss, lr)) step,
+    and returns the conversions every caller needs.  Shared by
+    ``multi_inr._fit_chunk_population`` and bench.py so the padding /
+    flat-layout contract lives in ONE place.
+
+    Returns ``(vstep, to_flat, from_flat, best_unflatten, pad_targets)``:
+    ``vstep(states, targets)`` the vmapped step (coords are a host-numpy
+    closure constant — see the lowering note in multi_inr), ``to_flat`` /
+    ``from_flat`` vmapped TrainState <-> FlatTrainState, ``best_unflatten``
+    flat stacked best-params -> pytree, ``pad_targets(t, k)`` the
+    (k, n_pad, 1) zero-padded target stack.
+    """
+    from ..ops.pallas_siren_step import (flat_state_from_train_state,
+                                         make_fused_mse_train_step,
+                                         pad_step_inputs,
+                                         train_state_from_flat,
+                                         unflatten_params)
+    ctx = model.fused_step_ctx
+    n = coords.shape[0]
+    coords_p, _, _ = pad_step_inputs(coords, np.zeros((n, 1), np.float32),
+                                     block)
+    fstep = make_fused_mse_train_step(
+        ctx["cfg"], cfg, n, block, rff_b=ctx["rff_b"],
+        approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+    vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t), in_axes=(0, 0))
+    to_flat = jax.vmap(lambda s: flat_state_from_train_state(
+        s, ctx["cfg"], rff=ctx["rff_b"] is not None))
+    from_flat = jax.vmap(lambda s: train_state_from_flat(s, ctx["cfg"]))
+    best_unflatten = jax.vmap(
+        lambda f: unflatten_params(list(f), ctx["cfg"]))
+
+    def pad_targets(targets, k_rows: int) -> np.ndarray:
+        tp = np.zeros((k_rows, coords_p.shape[0], 1), np.float32)
+        tp[:, :n] = np.asarray(targets)
+        return tp
+
+    return vstep, to_flat, from_flat, best_unflatten, pad_targets
+
+
 def fit(model: INRModel,
         coords: np.ndarray,
         targets: np.ndarray,

@@ -43,7 +43,8 @@ from ..parallel.mesh import make_mesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .loop import (TrainConfig, TrainState, fused_step_plan,
-                   init_train_state, make_train_step)
+                   init_train_state, make_train_step,
+                   make_vmapped_fused_step)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,25 +255,11 @@ def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
     # FlatTrainState through the scan; converted back after training.
     block = fused_step_plan(model, train_cfg, n)
     if block is not None:
-        from ..ops.pallas_siren_step import (flat_state_from_train_state,
-                                             make_fused_mse_train_step,
-                                             pad_step_inputs,
-                                             train_state_from_flat)
-        ctx = model.fused_step_ctx
-        coords_p, _, _ = pad_step_inputs(coords, np.zeros((n, 1), np.float32),
-                                         block)
-        n_pad = coords_p.shape[0]
-        tp = np.zeros((k_total, n_pad, 1), dtype=np.float32)
-        tp[:, :n, :] = targets
-        targets = tp
-        fstep = make_fused_mse_train_step(
-            ctx["cfg"], train_cfg, n, block, rff_b=ctx["rff_b"],
-            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
-        states = jax.vmap(lambda s: flat_state_from_train_state(
-            s, ctx["cfg"], rff=ctx["rff_b"] is not None))(states)
-        # coords_p stays a HOST constant in the closure (see coords note)
-        vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t),
-                         in_axes=(0, 0))
+        # shared wiring (padding + flat-state contract): loop.py
+        vstep, to_flat, from_flat, _, pad_targets = make_vmapped_fused_step(
+            model, train_cfg, coords, block)
+        targets = pad_targets(targets, k_total)
+        states = to_flat(states)
     else:
         train_step = make_train_step(model, train_cfg)
         vstep = jax.vmap(lambda s, t: train_step(s, coords, t),
@@ -316,8 +303,7 @@ def _fit_chunk_population(model, chunks, n, hop, signal_length, cfg,
     np.asarray(jax.tree_util.tree_leaves(states.params)[0])
     train_time = time.time() - t0
     if block is not None:
-        states = jax.vmap(
-            lambda s: train_state_from_flat(s, ctx["cfg"]))(states)
+        states = from_flat(states)
     hist = np.concatenate([np.asarray(h) for h in hists], axis=0)[:, :k]
     return MultiINRResult(states=states, chunk_scales=scales,
                           chunk_length=n, hop=hop, num_chunks=k,
