@@ -130,6 +130,11 @@ def main(argv=None) -> int:
                      help="encode every channel of a multichannel file "
                           "(one stacked chunk population, single launch); "
                           "default keeps channel 0 like the reference")
+    enc.add_argument("--modulated", action="store_true",
+                     help="shared-backbone codec mode: ONE network for the "
+                          "whole clip + a tiny per-chunk modulation vector "
+                          "(COIN++-class; --quantize applies to the "
+                          "modulations: none/float16/int8)")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
@@ -185,18 +190,29 @@ def main(argv=None) -> int:
         from .codec import decode as _dec
         fs, sig = read_wav(args.input,
                            channel=None if args.all_channels else 0)
-        cfg = CodecConfig(
-            chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
-            hidden_features=args.hidden, first_omega_0=args.omega,
-            learning_rate=args.learning_rate, total_steps=args.total_steps,
-            quantize=None if args.quantize == "none" else args.quantize,
-            per_row_scales=args.per_row_scales,
-            fused=args.fused, refit_steps=args.refit_steps,
-            max_chunks_per_batch=args.max_chunks or None)
-        if args.target_bps is not None:
-            from .codec import config_for_bitrate
-            cfg = config_for_bitrate(args.target_bps, base=cfg)
-        payload = encode(sig.astype(np.float32), fs, cfg)
+        if args.modulated:
+            from .codec import ModulatedCodecConfig, encode_modulated
+            q = None if args.quantize == "none" else args.quantize
+            payload = encode_modulated(sig.astype(np.float32), fs,
+                                       ModulatedCodecConfig(
+                chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
+                hidden_features=args.hidden, first_omega_0=args.omega,
+                learning_rate=args.learning_rate,
+                total_steps=args.total_steps, quantize_mods=q))
+        else:
+            cfg = CodecConfig(
+                chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
+                hidden_features=args.hidden, first_omega_0=args.omega,
+                learning_rate=args.learning_rate,
+                total_steps=args.total_steps,
+                quantize=None if args.quantize == "none" else args.quantize,
+                per_row_scales=args.per_row_scales,
+                fused=args.fused, refit_steps=args.refit_steps,
+                max_chunks_per_batch=args.max_chunks or None)
+            if args.target_bps is not None:
+                from .codec import config_for_bitrate
+                cfg = config_for_bitrate(args.target_bps, base=cfg)
+            payload = encode(sig.astype(np.float32), fs, cfg)
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
         stats = compression_stats(payload, path)

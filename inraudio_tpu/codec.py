@@ -357,23 +357,42 @@ def decode(payload: dict[str, Any], fused: bool = False,
     upsampled rate.  ``max_chunks_per_batch`` bounds device memory for
     long clips (same knob as ``multi_inr_fit``).
     """
+    if payload["meta"].get("codec") == "modulated":
+        meta = payload["meta"]
+        _check_format(meta)
+        coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
+        fn, mods = _modulated_decode_fn(payload, coords)
+        return _stitch_payload(payload, fn, mods, upsample,
+                               max_chunks_per_batch)
     meta, model, params = _payload_model_params(payload, fused)
+    coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
+    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    return _stitch_payload(payload, fn, params, upsample,
+                           max_chunks_per_batch)
 
-    u = max(1, int(upsample))
-    n0 = meta["chunk_length"]
+
+def _decode_grid(n0: int, u: int) -> np.ndarray:
+    """Per-chunk decode grid as a HOST constant; ``u`` > 1 subdivides the
+    TRAINING grid (step 2/(n0-1)) u times so every u-th decode sample sits
+    exactly on a training coordinate — ``get_coord(n0*u)`` would
+    time-stretch each chunk by u*(n0-1)/(n0*u-1) and add phase mismatch in
+    the crossfade overlaps."""
     if u == 1:
-        coords = np.asarray(get_coord(n0, dim=1), np.float32)  # host const
-    else:
-        # subdivide the TRAINING grid (step 2/(n0-1)) u times so every u-th
-        # decode sample sits exactly on a training coordinate;
-        # get_coord(n0*u) would time-stretch each chunk by u*(n0-1)/(n0*u-1)
-        # and add phase mismatch in the crossfade overlaps
-        j = np.arange(n0 * u, dtype=np.float64)
-        coords = (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32)
+        return np.asarray(get_coord(n0, dim=1), np.float32)
+    j = np.arange(n0 * u, dtype=np.float64)
+    return (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32)
+
+
+def _stitch_payload(payload: dict[str, Any], fn, params, upsample: int,
+                    max_chunks_per_batch: int | None
+                    ) -> tuple[int, np.ndarray]:
+    """Evaluate every chunk with ``fn`` and overlap-add per channel —
+    shared by the per-chunk-params and modulated decode paths."""
+    meta = payload["meta"]
+    u = max(1, int(upsample))
     hop = meta["hop"] * u
     c = int(meta.get("num_channels", 1))
     k = meta["num_chunks"]
-    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     outs = batched_chunk_eval(fn, params, c * k, max_chunks_per_batch)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
     length = meta["signal_length"] * u
@@ -384,15 +403,154 @@ def decode(payload: dict[str, Any], fused: bool = False,
     return meta["sample_rate"] * u, wav
 
 
-def _payload_model_params(payload: dict[str, Any], fused: bool):
-    """Validate the payload header and rebuild (meta, model, device params)
-    — shared by ``decode`` and ``decode_range``."""
+@dataclasses.dataclass(frozen=True)
+class ModulatedCodecConfig:
+    """Shared-backbone codec mode (COIN++-class): ONE SirenSnakeTanh
+    backbone for the whole clip + a tiny per-chunk modulation vector
+    (``models/modulated.py``).  Per-chunk storage is ``mod_dim = hidden *
+    (layers-1)`` floats instead of a full parameter set, so the backbone
+    amortises and bits/sample falls with clip length."""
+
+    chunk_seconds: float = 0.05
+    overlap_fraction: float = 0.1
+    hidden_features: int = 64
+    num_sine: int = 2
+    num_snake: int = 2
+    first_omega_0: float = 500.0
+    hidden_omega_0: float = 30.0
+    learning_rate: float = 1e-3
+    grad_clip_norm: float = 1.0
+    total_steps: int = 3000
+    quantize_mods: str | None = "int8"   # None | float16 | int8
+    shared_fp16: bool = True  # backbone in fp16 except the omega0-amplified
+    #                           first layer (same sensitivity rule as
+    #                           quantize_inr_params)
+    seed: int = 0
+
+
+def _store_shared(shared: Any, fp16: bool) -> Any:
+    if not fp16:
+        return jax.tree.map(np.asarray, shared)
+    layers = shared["layers"]
+    out = [jax.tree.map(np.asarray, layers[0])]
+    out += [jax.tree.map(lambda x: np.asarray(x, np.float16), l)
+            for l in layers[1:]]
+    return {"layers": out}
+
+
+def _load_shared_host(shared: Any) -> Any:
+    """Stored backbone -> float32 HOST arrays (closed into the decode jit
+    as instant MLIR constants — see the lowering note in multi_inr)."""
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), shared)
+
+
+def encode_modulated(signal: np.ndarray, sample_rate: int,
+                     cfg: ModulatedCodecConfig | None = None
+                     ) -> dict[str, Any]:
+    """Fit the shared-backbone codec and return the payload.
+
+    ``signal`` is (n,) or (n, c) like ``encode``; every channel's chunks
+    join the one jointly-trained population (channel-major order)."""
+    from .models.modulated import mod_dim
+    from .train.modulated import modulated_fit
+
+    cfg = cfg or ModulatedCodecConfig()
+    sig = np.asarray(signal, np.float32)
+    if sig.ndim == 2 and sig.shape[1] == 1:
+        sig = sig[:, 0]
+    chans = ([sig] if sig.ndim == 1
+             else [np.ascontiguousarray(sig[:, j])
+                   for j in range(sig.shape[1])])
+    mcfg = MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
+                          overlap_fraction=cfg.overlap_fraction)
+    per_ch = [chunk_signal(ch, sample_rate, mcfg) for ch in chans]
+    n, hop = per_ch[0][1], per_ch[0][2]
+    chunks = np.concatenate([c for c, _, _ in per_ch], axis=0)
+    scales = np.maximum(np.max(np.abs(chunks), axis=1), 1e-9)
+    targets = (chunks / scales[:, None])[..., None]
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=cfg.hidden_features, num_sine=cfg.num_sine,
+        num_snake=cfg.num_snake, first_omega_0=cfg.first_omega_0,
+        hidden_omega_0=cfg.hidden_omega_0)
+    res = modulated_fit(
+        model_cfg, targets, np.asarray(get_coord(n, dim=1)),
+        TrainConfig(total_steps=cfg.total_steps,
+                    learning_rate=cfg.learning_rate,
+                    grad_clip_norm=cfg.grad_clip_norm),
+        key=jax.random.PRNGKey(cfg.seed))
+
+    mods = np.asarray(res.mods)
+    if cfg.quantize_mods == "int8":
+        stored_mods = quantize_params(jnp.asarray(mods), "int8",
+                                      per_leading_axis=True)
+        stored_mods = jax.tree.map(np.asarray, stored_mods)
+    elif cfg.quantize_mods == "float16":
+        stored_mods = mods.astype(np.float16)
+    elif cfg.quantize_mods is None:
+        stored_mods = mods
+    else:
+        raise ValueError(f"quantize_mods {cfg.quantize_mods!r}: use "
+                         "None | float16 | int8")
+    meta = {
+        "format": _FORMAT,
+        "codec": "modulated",
+        "sample_rate": int(sample_rate),
+        "signal_length": int(len(chans[0])),
+        "chunk_length": int(n),
+        "hop": int(hop),
+        "num_chunks": int(per_ch[0][0].shape[0]),
+        "num_channels": len(chans),
+        "quantize": cfg.quantize_mods,
+        "shared_fp16": bool(cfg.shared_fp16),
+        "mod_dim": int(mod_dim(model_cfg)),
+        "model": {
+            "hidden_features": cfg.hidden_features,
+            "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,
+            "first_omega_0": cfg.first_omega_0,
+            "hidden_omega_0": cfg.hidden_omega_0,
+        },
+    }
+    return {"meta": meta, "scales": scales.astype(np.float32),
+            "params": {"mods": stored_mods,
+                       "shared": _store_shared(res.shared,
+                                               cfg.shared_fp16)}}
+
+
+def _modulated_decode_fn(payload: dict[str, Any], coords: np.ndarray):
+    """-> (vmapped jitted per-chunk eval over modulation rows, mods array).
+    The f32 backbone stays a host-numpy closure constant."""
+    from .models.modulated import modulated_apply
+
     meta = payload["meta"]
+    m = meta["model"]
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
+        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
+        hidden_omega_0=m["hidden_omega_0"])
+    shared = _load_shared_host(payload["params"]["shared"])
+    mods = payload["params"]["mods"]
+    if isinstance(mods, dict):  # int8 {'q', 'scale', ...}
+        mods = np.asarray(dequantize_params(
+            jax.tree.map(jnp.asarray, mods)))
+    mods = np.asarray(mods, np.float32)
+    fn = jax.jit(jax.vmap(
+        lambda mo: modulated_apply(shared, model_cfg, coords, mo)))
+    return fn, mods
+
+
+def _check_format(meta: dict[str, Any]) -> None:
     if meta.get("format") != _FORMAT:
         raise ValueError(
             f"unsupported payload format {meta.get('format')!r}: this build "
             f"reads {_FORMAT} only (older payloads, e.g. v1's uniform leaf "
             "quantization, must be re-encoded from the source audio)")
+
+
+def _payload_model_params(payload: dict[str, Any], fused: bool):
+    """Validate the payload header and rebuild (meta, model, device params)
+    — shared by ``decode`` and ``decode_range``."""
+    meta = payload["meta"]
+    _check_format(meta)
     m = meta["model"]
     model_cfg = SirenSnakeTanhConfig(
         hidden_features=m["hidden_features"], num_sine=m["num_sine"],
@@ -419,14 +577,20 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
     ``decode(payload)`` to ~1 ulp (see
     ``train.multi_inr.decode_chunk_range``).
     """
-    meta, model, params = _payload_model_params(payload, fused)
+    meta = payload["meta"]
+    if meta.get("codec") == "modulated":
+        _check_format(meta)
+        coords = _decode_grid(meta["chunk_length"], 1)
+        fn, params = _modulated_decode_fn(payload, coords)
+    else:
+        meta, model, params = _payload_model_params(payload, fused)
+        coords = _decode_grid(meta["chunk_length"], 1)
+        fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     sr = meta["sample_rate"]
     n0 = meta["chunk_length"]
     c = int(meta.get("num_channels", 1))
     k = meta["num_chunks"]
     scales = np.asarray(payload["scales"], np.float32)
-    coords = np.asarray(get_coord(n0, dim=1), np.float32)  # host const
-    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     a, b = int(round(start_s * sr)), int(round(stop_s * sr))
     chans = [decode_chunk_range(
         fn, jax.tree.map(lambda x: x[j * k:(j + 1) * k], params),
@@ -475,11 +639,23 @@ def load_inr(path: str) -> dict[str, Any]:
         hidden_features=m["hidden_features"], num_sine=m["num_sine"],
         num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
         hidden_omega_0=m["hidden_omega_0"])
-    model = build_model("mlp", model_cfg)
-    template = jax.vmap(model.init)(
-        jax.random.split(jax.random.PRNGKey(0), meta["num_chunks"]))
-    if meta.get("quantize"):
-        template = quantize_inr_params(template, meta["quantize"])
+    if meta.get("codec") == "modulated":
+        # template = {mods (maybe int8-dict), shared} — leaf count/structure
+        # is all tree_unflatten needs; values come from the file
+        from .models.modulated import modulated_init
+        ck = meta["num_chunks"] * int(meta.get("num_channels", 1))
+        t = modulated_init(jax.random.PRNGKey(0), model_cfg, ck)
+        mods_t = (quantize_params(t["mods"], "int8", per_leading_axis=True)
+                  if meta.get("quantize") == "int8" else t["mods"])
+        template = {"mods": mods_t,
+                    "shared": _store_shared(t["shared"],
+                                            meta.get("shared_fp16", False))}
+    else:
+        model = build_model("mlp", model_cfg)
+        template = jax.vmap(model.init)(
+            jax.random.split(jax.random.PRNGKey(0), meta["num_chunks"]))
+        if meta.get("quantize"):
+            template = quantize_inr_params(template, meta["quantize"])
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     if len(t_leaves) != len(leaves):
         raise ValueError("leaf count mismatch — corrupted payload")

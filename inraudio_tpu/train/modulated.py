@@ -1,0 +1,110 @@
+"""Joint fit of a shared modulated-SIREN backbone + per-chunk modulations.
+
+Auto-decoder training (no inner loop): one vmapped forward over the chunk
+population computes every chunk's MSE; ``jax.grad`` of the mean then
+yields the backbone gradient (mean over chunks) AND each modulation row's
+own gradient in a single backward pass — the same chunk-axis batch the
+multi-INR path feeds the MXU, so the step cost matches a multi-INR step
+at equal shapes.  Adam + torch-parity ReduceLROnPlateau + optional
+global-norm clipping as carried state inside a jitted ``lax.scan``
+(``train/optim.py``), best-state snapshot on the mean loss.
+
+This is the training half of the shared-backbone codec mode
+(``codec.encode_modulated``); the reference trains one monolithic INR per
+clip and shares nothing across time (run.py:30-400).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.modulated import modulated_apply, modulated_init
+from ..models.siren import SirenSnakeTanhConfig
+from .loop import TrainConfig
+from .optim import (AdamConfig, PlateauConfig, adam_init, adam_update,
+                    clip_by_global_norm, plateau_init, plateau_update)
+
+
+class ModulatedFitResult(NamedTuple):
+    shared: Any            # backbone params (best snapshot)
+    mods: jnp.ndarray      # (k, mod_dim) modulations (best snapshot)
+    loss_history: np.ndarray   # (steps,) mean chunk loss
+    train_time_s: float
+
+
+def modulated_fit(model_cfg: SirenSnakeTanhConfig,
+                  targets: np.ndarray,
+                  coords: np.ndarray,
+                  cfg: TrainConfig | None = None,
+                  key: jax.Array | None = None) -> ModulatedFitResult:
+    """Fit backbone + modulations to a (k, n, 1) chunk-target stack.
+
+    ``coords`` is the shared per-chunk grid (n, d), kept as a HOST
+    constant in the jitted closure (device arrays embed as MLIR constants
+    whose values are fetched during lowering — the round-2 "218 s
+    compile"; see tests/test_lowering.py)."""
+    cfg = cfg or TrainConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if cfg.loss_mode != "mse" or cfg.alpha != 0.0:
+        raise ValueError("modulated_fit supports loss_mode='mse', alpha=0")
+    k = targets.shape[0]
+    coords = np.asarray(coords, np.float32)
+    params = modulated_init(key, model_cfg, k)
+    adam_cfg = AdamConfig(lr=cfg.learning_rate)
+    plat_cfg = PlateauConfig(factor=cfg.plateau_factor,
+                             patience=cfg.plateau_patience,
+                             min_lr=cfg.min_learning_rate)
+
+    def loss_fn(p, t):
+        out = jax.vmap(lambda m: modulated_apply(p["shared"], model_cfg,
+                                                 coords, m))(p["mods"])
+        return jnp.mean(jnp.square(out - t))
+
+    def step(carry, t):
+        p, opt, plat, best_loss, best_p = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, t)
+        if cfg.grad_clip_norm > 0:
+            grads = clip_by_global_norm(grads, cfg.grad_clip_norm)
+        p, opt = adam_update(opt, grads, p, adam_cfg)
+        plat, lr = plateau_update(plat, loss, opt.lr, plat_cfg)
+        opt = opt._replace(lr=lr)
+        improved = loss < best_loss
+        best_loss = jnp.where(improved, loss, best_loss)
+        best_p = jax.tree.map(
+            lambda b, n: jnp.where(improved, n, b), best_p, p)
+        return (p, opt, plat, best_loss, best_p), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("length",))
+    def run(carry, t, length):
+        return jax.lax.scan(lambda c, _: step(c, t), carry, None,
+                            length=length)
+
+    targets_d = jnp.asarray(targets, jnp.float32)
+    # the best snapshot must be a distinct buffer: the carry is donated,
+    # and donating the same array twice is an error
+    carry = (params, adam_init(params, adam_cfg), plateau_init(),
+             jnp.float32(jnp.inf), jax.tree.map(jnp.copy, params))
+    t0 = time.time()
+    hists = []
+    done = 0
+    chunk = max(1, min(cfg.scan_chunk, cfg.total_steps))
+    while done < cfg.total_steps:
+        m = min(chunk, cfg.total_steps - done)
+        carry, h = run(carry, targets_d, length=m)
+        hists.append(h)
+        done += m
+    best_p = carry[4] if cfg.track_best else carry[0]
+    # real device->host fetch before the clock (axon block_until_ready
+    # can return early; see train/loop.py)
+    np.asarray(jax.tree_util.tree_leaves(best_p)[0])
+    train_time = time.time() - t0
+    hist = np.concatenate([np.asarray(h) for h in hists])
+    return ModulatedFitResult(shared=best_p["shared"], mods=best_p["mods"],
+                              loss_history=hist, train_time_s=train_time)

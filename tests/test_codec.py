@@ -339,3 +339,50 @@ def test_config_for_bitrate_lookup():
     rates = [(config_for_bitrate(b).chunk_seconds,
               config_for_bitrate(b).hidden_features) for b in budgets]
     assert rates == sorted(rates, key=lambda t: (-t[0], t[1])), (widths, rates)
+
+
+@pytest.mark.slow
+def test_modulated_encode_decode(tmp_path):
+    """Shared-backbone codec: one network + per-chunk modulations.  The
+    payload must reconstruct the clip, cost far fewer bytes per chunk than
+    the per-chunk codec, survive a file round trip (incl. int8 mods), and
+    support range decode."""
+    from inraudio_tpu.codec import (ModulatedCodecConfig, decode_range,
+                                    encode_modulated)
+
+    sig = _sig(0.6)
+    cfg = ModulatedCodecConfig(chunk_seconds=0.1, hidden_features=32,
+                               first_omega_0=200.0, total_steps=800,
+                               learning_rate=2e-3, quantize_mods=None,
+                               shared_fp16=False)
+    payload = encode_modulated(sig, FS, cfg)
+    assert payload["meta"]["codec"] == "modulated"
+    assert payload["params"]["mods"].shape[1] == payload["meta"]["mod_dim"]
+    fs, rec = decode(payload)
+    assert fs == FS and len(rec) == len(sig)
+    snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+    assert snr > 20, snr
+
+    # per-chunk marginal cost is the modulation vector, not a param set
+    per_chunk_cost = (payload["params"]["mods"].nbytes
+                      / payload["meta"]["num_chunks"])
+    from inraudio_tpu.models import param_bytes
+    full_model_cost = param_bytes(payload["params"]["shared"])
+    assert per_chunk_cost < full_model_cost / 10
+
+    # range decode consistent with the full decode
+    a, b = int(round(0.15 * FS)), int(round(0.45 * FS))
+    _, part = decode_range(payload, 0.15, 0.45)
+    np.testing.assert_allclose(part, rec[a:b], rtol=0, atol=1e-6)
+
+    # int8 modulation file round trip
+    cfg8 = ModulatedCodecConfig(**{**cfg.__dict__, "quantize_mods": "int8",
+                                   "shared_fp16": True})
+    p8 = encode_modulated(sig, FS, cfg8)
+    path = save_inr(str(tmp_path / "m.inr"), p8)
+    loaded = load_inr(path)
+    _, rec8a = decode(loaded)
+    _, rec8b = decode(p8)
+    np.testing.assert_allclose(rec8a, rec8b, atol=1e-6)
+    snr8 = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec8a) ** 2))
+    assert snr8 > 15, snr8
