@@ -1,0 +1,80 @@
+"""Calibrate the shared-backbone modulated codec on gt_bach.wav (TPU).
+
+Sweeps (chunk_s, hidden, omega0, lr, steps) points of
+``codec.encode_modulated`` and prints one line per point: SNR,
+bits/sample (in-memory and on-disk), encode wall.  Rows feed the
+BASELINE.md rate-distortion table next to the per-chunk codec points —
+the question this script answers is where the backbone-amortised frontier
+sits vs int8 width steps (22.0 dB @ 2.57 bps etc.).
+
+    python scripts/bench_modulated.py [point ...]   # default: all
+
+Points are named below; add ad-hoc ones via env, e.g.
+``MOD_STEPS=4000 python scripts/bench_modulated.py mid``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+from inraudio_tpu.codec import (ModulatedCodecConfig, compression_stats,  # noqa: E402
+                                decode, encode_modulated, save_inr)
+from inraudio_tpu.data.audio_io import read_wav  # noqa: E402
+from inraudio_tpu.dsp import calculate_snr  # noqa: E402
+
+WAV = os.environ.get("MOD_WAV", "/root/reference/gt_bach.wav")
+STEPS = int(os.environ.get("MOD_STEPS", "3000"))
+
+# chunk_s / hidden / omega0 / lr — omega follows the per-chunk recipe
+# scans (0.05 s -> ~500, 0.1 s -> ~1000, 0.25 s -> ~1800, BASELINE.md)
+POINTS = {
+    "tiny": dict(chunk_seconds=0.05, hidden_features=48,
+                 first_omega_0=500.0, learning_rate=1e-3),
+    "mid": dict(chunk_seconds=0.05, hidden_features=64,
+                first_omega_0=500.0, learning_rate=1e-3),
+    "wide": dict(chunk_seconds=0.05, hidden_features=128,
+                 first_omega_0=500.0, learning_rate=1e-3),
+    "mid01": dict(chunk_seconds=0.1, hidden_features=64,
+                  first_omega_0=1000.0, learning_rate=1e-3),
+    "wide01": dict(chunk_seconds=0.1, hidden_features=128,
+                   first_omega_0=1000.0, learning_rate=1e-3),
+    "wide025": dict(chunk_seconds=0.25, hidden_features=128,
+                    first_omega_0=1800.0, learning_rate=7e-4),
+}
+
+
+def main(names: list[str]) -> None:
+    fs, sig = read_wav(WAV, channel=0)
+    sig = sig.astype(np.float32)
+    for name in names:
+        knobs = POINTS[name]
+        cfg = ModulatedCodecConfig(total_steps=STEPS, quantize_mods="int8",
+                                   **knobs)
+        t0 = time.time()
+        payload = encode_modulated(sig, fs, cfg)
+        wall = time.time() - t0
+        _, rec = decode(payload)
+        snr = float(calculate_snr(sig, rec))
+        path = save_inr(f"/tmp/mod_{name}.inr", payload)
+        st = compression_stats(payload, path)
+        print(f"{name}: snr={snr:.2f} dB  bps={st['bits_per_sample']:.2f} "
+              f"(disk {st['file_bits_per_sample']:.2f})  "
+              f"chunks={payload['meta']['num_chunks']} "
+              f"mod_dim={payload['meta']['mod_dim']}  wall={wall:.1f}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or list(POINTS))
