@@ -284,6 +284,8 @@ def encode(signal: np.ndarray, sample_rate: int,
     model = build_model("mlp", model_cfg, fused=cfg.fused,
                         approx_sin=cfg.fused)
     sig = np.asarray(signal, np.float32)
+    if sig.shape[0] == 0:
+        raise ValueError("cannot encode an empty signal")
     if sig.ndim == 2 and sig.shape[1] == 1:
         sig = sig[:, 0]
     chans = ([sig] if sig.ndim == 1
@@ -456,6 +458,8 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
 
     cfg = cfg or ModulatedCodecConfig()
     sig = np.asarray(signal, np.float32)
+    if sig.shape[0] == 0:
+        raise ValueError("cannot encode an empty signal")
     if sig.ndim == 2 and sig.shape[1] == 1:
         sig = sig[:, 0]
     chans = ([sig] if sig.ndim == 1

@@ -386,3 +386,12 @@ def test_modulated_encode_decode(tmp_path):
     np.testing.assert_allclose(rec8a, rec8b, atol=1e-6)
     snr8 = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec8a) ** 2))
     assert snr8 > 15, snr8
+
+
+def test_empty_signal_rejected():
+    from inraudio_tpu.codec import ModulatedCodecConfig, encode_modulated
+    with pytest.raises(ValueError, match="empty"):
+        encode(np.zeros((0,), np.float32), FS, SMALL)
+    with pytest.raises(ValueError, match="empty"):
+        encode_modulated(np.zeros((0, 2), np.float32), FS,
+                         ModulatedCodecConfig(total_steps=5))
