@@ -42,13 +42,21 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                   targets: np.ndarray,
                   coords: np.ndarray,
                   cfg: TrainConfig | None = None,
-                  key: jax.Array | None = None) -> ModulatedFitResult:
+                  key: jax.Array | None = None,
+                  mesh=None) -> ModulatedFitResult:
     """Fit backbone + modulations to a (k, n, 1) chunk-target stack.
 
     ``coords`` is the shared per-chunk grid (n, d), kept as a HOST
     constant in the jitted closure (device arrays embed as MLIR constants
     whose values are fetched during lowering — the round-2 "218 s
-    compile"; see tests/test_lowering.py)."""
+    compile"; see tests/test_lowering.py).
+
+    ``mesh``: chunk-axis data parallelism — modulations, Adam moments and
+    targets shard on the chunk axis, the backbone replicates, and XLA SPMD
+    inserts the backbone-gradient all-reduce (the mean over chunks rides
+    ICI; no hand-written collectives).  Chunks must pad to a multiple of
+    the mesh size upstream (the codec's chunk counts are arbitrary, so
+    pass a 1-device mesh — or None — unless the caller padded)."""
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     if cfg.loss_mode != "mse" or cfg.alpha != 0.0:
@@ -91,6 +99,28 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     # and donating the same array twice is an error
     carry = (params, adam_init(params, adam_cfg), plateau_init(),
              jnp.float32(jnp.inf), jax.tree.map(jnp.copy, params))
+    if mesh is not None and mesh.devices.size > 1:
+        if k % mesh.devices.size:
+            raise ValueError(
+                f"{k} chunks do not shard over {mesh.devices.size} devices "
+                "— pad the population to a mesh-size multiple")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        chunk_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        put = lambda x, s: jax.device_put(x, s)  # noqa: E731
+
+        def shard_params(p):
+            return {"shared": jax.tree.map(lambda x: put(x, rep),
+                                           p["shared"]),
+                    "mods": put(p["mods"], chunk_sh)}
+
+        targets_d = put(targets_d, chunk_sh)
+        carry = (shard_params(carry[0]),
+                 jax.tree.map(
+                     lambda x: put(x, rep) if np.ndim(x) == 0 else x,
+                     adam_init(shard_params(params), adam_cfg)),
+                 jax.tree.map(lambda x: put(x, rep), carry[2]),
+                 put(carry[3], rep), shard_params(carry[4]))
     t0 = time.time()
     hists = []
     done = 0
