@@ -135,6 +135,9 @@ def main(argv=None) -> int:
                           "whole clip + a tiny per-chunk modulation vector "
                           "(COIN++-class; --quantize applies to the "
                           "modulations: none/float16/int8)")
+    enc.add_argument("--film-scale", action="store_true",
+                     help="with --modulated: per-unit gains as well as "
+                          "shifts (2x modulation bytes, full FiLM)")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
@@ -198,7 +201,8 @@ def main(argv=None) -> int:
                 chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
                 hidden_features=args.hidden, first_omega_0=args.omega,
                 learning_rate=args.learning_rate,
-                total_steps=args.total_steps, quantize_mods=q))
+                total_steps=args.total_steps, quantize_mods=q,
+                film_scale=args.film_scale))
         else:
             cfg = CodecConfig(
                 chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,

@@ -427,6 +427,9 @@ class ModulatedCodecConfig:
     shared_fp16: bool = True  # backbone in fp16 except the omega0-amplified
     #                           first layer (same sensitivity rule as
     #                           quantize_inr_params)
+    # Full FiLM: per-unit gains as well as shifts (2x mod bytes, per-unit
+    # frequency modulation on sine layers)
+    film_scale: bool = False
     seed: int = 0
 
 
@@ -481,7 +484,7 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         TrainConfig(total_steps=cfg.total_steps,
                     learning_rate=cfg.learning_rate,
                     grad_clip_norm=cfg.grad_clip_norm),
-        key=jax.random.PRNGKey(cfg.seed))
+        key=jax.random.PRNGKey(cfg.seed), film_scale=cfg.film_scale)
 
     mods = np.asarray(res.mods)
     if cfg.quantize_mods == "int8":
@@ -506,7 +509,8 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         "num_channels": len(chans),
         "quantize": cfg.quantize_mods,
         "shared_fp16": bool(cfg.shared_fp16),
-        "mod_dim": int(mod_dim(model_cfg)),
+        "mod_dim": int(mod_dim(model_cfg, cfg.film_scale)),
+        "film_scale": bool(cfg.film_scale),
         "model": {
             "hidden_features": cfg.hidden_features,
             "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,
@@ -537,8 +541,10 @@ def _modulated_decode_fn(payload: dict[str, Any], coords: np.ndarray):
         mods = np.asarray(dequantize_params(
             jax.tree.map(jnp.asarray, mods)))
     mods = np.asarray(mods, np.float32)
+    film = bool(meta.get("film_scale", False))
     fn = jax.jit(jax.vmap(
-        lambda mo: modulated_apply(shared, model_cfg, coords, mo)))
+        lambda mo: modulated_apply(shared, model_cfg, coords, mo,
+                                   film_scale=film)))
     return fn, mods
 
 
@@ -648,7 +654,8 @@ def load_inr(path: str) -> dict[str, Any]:
         # is all tree_unflatten needs; values come from the file
         from .models.modulated import modulated_init
         ck = meta["num_chunks"] * int(meta.get("num_channels", 1))
-        t = modulated_init(jax.random.PRNGKey(0), model_cfg, ck)
+        t = modulated_init(jax.random.PRNGKey(0), model_cfg, ck,
+                           film_scale=bool(meta.get("film_scale", False)))
         mods_t = (quantize_params(t["mods"], "int8", per_leading_axis=True)
                   if meta.get("quantize") == "int8" else t["mods"])
         template = {"mods": mods_t,

@@ -27,50 +27,67 @@ from .siren import (Params, SirenSnakeTanhConfig, linear_apply, snake_apply,
                     siren_snake_tanh_init)
 
 
-def mod_dim(cfg: SirenSnakeTanhConfig) -> int:
-    """Modulation vector length: one shift per hidden unit of every layer
-    except the output head."""
-    return cfg.hidden_features * (len(cfg.layer_kinds) - 1)
+def mod_dim(cfg: SirenSnakeTanhConfig, film_scale: bool = False) -> int:
+    """Modulation vector length: one shift — plus one scale when
+    ``film_scale`` — per hidden unit of every layer except the output
+    head."""
+    return (cfg.hidden_features * (len(cfg.layer_kinds) - 1)
+            * (2 if film_scale else 1))
 
 
 def modulated_init(key: jax.Array, cfg: SirenSnakeTanhConfig,
-                   num_chunks: int) -> Params:
+                   num_chunks: int, film_scale: bool = False) -> Params:
     """-> {'shared': backbone params, 'mods': (num_chunks, mod_dim) zeros}.
 
     Zero modulations leave the backbone's function unchanged at init
-    (``sin(w·x + 0)``), so early training is plain multi-chunk SIREN
-    fitting and the modulations differentiate the chunks as the shared
-    features stabilise."""
+    (``sin(w·x + 0)``; FiLM scales enter as ``1 + s`` so zero is
+    identity), so early training is plain multi-chunk SIREN fitting and
+    the modulations differentiate the chunks as the shared features
+    stabilise."""
     if cfg.scaled_first:
         raise ValueError("modulated backbone does not support scaled_first")
     shared = siren_snake_tanh_init(key, cfg)
-    mods = jnp.zeros((num_chunks, mod_dim(cfg)), jnp.float32)
+    mods = jnp.zeros((num_chunks, mod_dim(cfg, film_scale)), jnp.float32)
     return {"shared": shared, "mods": mods}
 
 
 def modulated_apply(shared: Params, cfg: SirenSnakeTanhConfig,
-                    coords: jax.Array, mod: jax.Array) -> jax.Array:
+                    coords: jax.Array, mod: jax.Array,
+                    film_scale: bool = False) -> jax.Array:
     """Forward one chunk: the SirenSnakeTanh stack with ``mod``'s per-layer
     slice added to each non-final pre-activation (a phase shift for sine
-    layers).  vmap over ``mod`` (and targets) for the population."""
+    layers); with ``film_scale`` each layer also gets a per-unit gain
+    ``(1 + s)`` on the pre-activation (per-unit FREQUENCY modulation for
+    sine layers — full FiLM).  vmap over ``mod`` (and targets) for the
+    population."""
     kinds = cfg.layer_kinds
     h = cfg.hidden_features
+    per = 2 * h if film_scale else h
     x = coords.astype(jnp.float32)
     for i, (kind, p) in enumerate(zip(kinds, shared["layers"])):
         last = i == len(kinds) - 1
-        m = None if last else mod[i * h:(i + 1) * h]
+        if last:
+            m, s = None, None
+        else:
+            m = mod[i * per:i * per + h]
+            s = (1.0 + mod[i * per + h:i * per + 2 * h]) if film_scale \
+                else None
+
+        def filmed(pre):
+            return pre + m if s is None else s * pre + m
+
         if kind == "sine_first":
             # fp32 + exact matmul: omega0 * coord reaches ~2e4 (DESIGN.md)
             pre = cfg.first_omega_0 * linear_apply(p, x, jnp.float32,
                                                    precision="highest")
-            x = jnp.sin(pre + m)
+            x = jnp.sin(filmed(pre))
         elif kind == "sine":
             pre = cfg.hidden_omega_0 * linear_apply(p, x)
-            x = jnp.sin(pre if last else pre + m)
+            x = jnp.sin(pre if last else filmed(pre))
         elif kind == "linear_snake":
-            x = snake_apply(p["snake_a"], linear_apply(p, x) + m)
+            x = snake_apply(p["snake_a"], filmed(linear_apply(p, x)))
         elif kind == "linear_tanh":
-            x = jnp.tanh(linear_apply(p, x) + m)
+            x = jnp.tanh(filmed(linear_apply(p, x)))
         elif kind == "linear_last":
             x = linear_apply(p, x)
         else:  # pragma: no cover

@@ -43,7 +43,8 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                   coords: np.ndarray,
                   cfg: TrainConfig | None = None,
                   key: jax.Array | None = None,
-                  mesh=None) -> ModulatedFitResult:
+                  mesh=None,
+                  film_scale: bool = False) -> ModulatedFitResult:
     """Fit backbone + modulations to a (k, n, 1) chunk-target stack.
 
     ``coords`` is the shared per-chunk grid (n, d), kept as a HOST
@@ -63,15 +64,16 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
         raise ValueError("modulated_fit supports loss_mode='mse', alpha=0")
     k = targets.shape[0]
     coords = np.asarray(coords, np.float32)
-    params = modulated_init(key, model_cfg, k)
+    params = modulated_init(key, model_cfg, k, film_scale)
     adam_cfg = AdamConfig(lr=cfg.learning_rate)
     plat_cfg = PlateauConfig(factor=cfg.plateau_factor,
                              patience=cfg.plateau_patience,
                              min_lr=cfg.min_learning_rate)
 
     def loss_fn(p, t):
-        out = jax.vmap(lambda m: modulated_apply(p["shared"], model_cfg,
-                                                 coords, m))(p["mods"])
+        out = jax.vmap(lambda m: modulated_apply(
+            p["shared"], model_cfg, coords, m,
+            film_scale=film_scale))(p["mods"])
         return jnp.mean(jnp.square(out - t))
 
     def step(carry, t):

@@ -52,6 +52,13 @@ POINTS = {
                    first_omega_0=1000.0, learning_rate=1e-3),
     "wide025": dict(chunk_seconds=0.25, hidden_features=128,
                     first_omega_0=1800.0, learning_rate=7e-4),
+    # FiLM A/B: per-unit gains + shifts (2x mod bytes)
+    "mid_film": dict(chunk_seconds=0.05, hidden_features=64,
+                     first_omega_0=500.0, learning_rate=1e-3,
+                     film_scale=True),
+    "wide01_film": dict(chunk_seconds=0.1, hidden_features=128,
+                        first_omega_0=1000.0, learning_rate=1e-3,
+                        film_scale=True),
 }
 
 

@@ -395,3 +395,35 @@ def test_empty_signal_rejected():
     with pytest.raises(ValueError, match="empty"):
         encode_modulated(np.zeros((0, 2), np.float32), FS,
                          ModulatedCodecConfig(total_steps=5))
+
+
+def test_modulated_film_scale_roundtrip(tmp_path):
+    """film_scale doubles mod_dim (per-unit gains + shifts), zero mods are
+    identity, and the payload round-trips through a file."""
+    from inraudio_tpu.codec import ModulatedCodecConfig, encode_modulated
+    from inraudio_tpu.models.modulated import (mod_dim, modulated_apply,
+                                               modulated_init)
+    from inraudio_tpu.models.siren import SirenSnakeTanhConfig
+    import jax
+
+    cfg = SirenSnakeTanhConfig(hidden_features=16, num_sine=1, num_snake=1,
+                               first_omega_0=100.0)
+    assert mod_dim(cfg, film_scale=True) == 2 * mod_dim(cfg)
+    p = modulated_init(jax.random.PRNGKey(0), cfg, 3, film_scale=True)
+    coords = np.linspace(-1, 1, 50, dtype=np.float32)[:, None]
+    out0 = modulated_apply(p["shared"], cfg, coords, p["mods"][0],
+                           film_scale=True)
+    out_plain = modulated_apply(p["shared"], cfg, coords,
+                                np.zeros(mod_dim(cfg), np.float32))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_plain),
+                               atol=1e-6)
+
+    sig = _sig(0.3)
+    payload = encode_modulated(sig, FS, ModulatedCodecConfig(
+        chunk_seconds=0.1, hidden_features=24, first_omega_0=200.0,
+        total_steps=200, film_scale=True, quantize_mods="int8"))
+    assert payload["meta"]["film_scale"] is True
+    path = save_inr(str(tmp_path / "f.inr"), payload)
+    _, rec_a = decode(load_inr(path))
+    _, rec_b = decode(payload)
+    np.testing.assert_allclose(rec_a, rec_b, atol=1e-6)
