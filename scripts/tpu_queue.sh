@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-3 TPU work queue — run once the axon tunnel recovers.
+# Serializes the chip jobs (ONE real chip) with hard timeouts so a wedged
+# tunnel can't queue hours of work (see memory: axon-tpu-gotchas).
+set -x
+cd /root/repo
+# 1. headline bench after the device-closure fix + fused-step refactor
+timeout 1200 python bench.py 2>bench_r3_check.log; tail -5 bench_r3_check.log
+# 2. modulated-codec calibration sweep (rate-distortion rows for BASELINE)
+timeout 2400 python scripts/bench_modulated.py tiny mid wide mid01 wide01 wide025 2>&1 | tail -20
+timeout 1800 python scripts/bench_modulated.py mid_film wide01_film 2>&1 | tail -10
+# 3. decode spot check at the production shape (quality-gated tiers)
+timeout 900 python scripts/bench_decode.py tune256 2>&1 | tail -10

@@ -427,3 +427,19 @@ def test_modulated_film_scale_roundtrip(tmp_path):
     _, rec_a = decode(load_inr(path))
     _, rec_b = decode(payload)
     np.testing.assert_allclose(rec_a, rec_b, atol=1e-6)
+
+
+def test_modulated_decode_upsample():
+    """BWE decode works for modulated payloads: the u-grid subdivides the
+    training grid, so every u-th sample matches the 1x decode closely."""
+    from inraudio_tpu.codec import ModulatedCodecConfig, encode_modulated
+    sig = _sig(0.3)
+    payload = encode_modulated(sig, FS, ModulatedCodecConfig(
+        chunk_seconds=0.1, hidden_features=24, first_omega_0=200.0,
+        total_steps=200, quantize_mods=None, shared_fp16=False))
+    fs2, rec2 = decode(payload, upsample=2)
+    fs1, rec1 = decode(payload)
+    assert fs2 == 2 * fs1 and len(rec2) == 2 * len(rec1)
+    err = rec2[::2] - rec1
+    snr = 10 * np.log10(np.sum(rec1 ** 2) / (np.sum(err ** 2) + 1e-20))
+    assert snr > 30, snr
