@@ -186,6 +186,21 @@ def main(argv=None) -> int:
         ckpt = train(args.experiment_path, args.tag, **kw)
         print(json.dumps({"ckpt": ckpt}))
     elif args.cmd == "encode":
+        # fail fast on flag conflicts, before any file I/O or training —
+        # silently ignoring a requested bitrate/refit would be worse
+        if args.modulated:
+            for flag, on in (("--target-bps", args.target_bps is not None),
+                             ("--per-row-scales", args.per_row_scales),
+                             ("--refit-steps", args.refit_steps > 0),
+                             ("--fused", args.fused),
+                             ("--max-chunks", bool(args.max_chunks))):
+                if on:
+                    ap.error(f"{flag} does not apply to --modulated")
+            if args.quantize in ("bfloat16", "int4"):
+                ap.error("--modulated quantizes the modulations: use "
+                         "none, float16 or int8")
+        elif args.film_scale:
+            ap.error("--film-scale requires --modulated")
         import numpy as np
         from .codec import CodecConfig, compression_stats, encode, save_inr
         from .data.audio_io import read_wav

@@ -283,14 +283,7 @@ def encode(signal: np.ndarray, sample_rate: int,
         hidden_omega_0=cfg.hidden_omega_0)
     model = build_model("mlp", model_cfg, fused=cfg.fused,
                         approx_sin=cfg.fused)
-    sig = np.asarray(signal, np.float32)
-    if sig.shape[0] == 0:
-        raise ValueError("cannot encode an empty signal")
-    if sig.ndim == 2 and sig.shape[1] == 1:
-        sig = sig[:, 0]
-    chans = ([sig] if sig.ndim == 1
-             else [np.ascontiguousarray(sig[:, j])
-                   for j in range(sig.shape[1])])
+    chans = _split_channels(signal)
     mcfg = MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
                           overlap_fraction=cfg.overlap_fraction)
     results = multi_inr_fit_many(
@@ -433,6 +426,29 @@ class ModulatedCodecConfig:
     seed: int = 0
 
 
+def _split_channels(signal: np.ndarray) -> list[np.ndarray]:
+    """(n,) or (n, c) float32 -> list of contiguous channel vectors.
+    Shared preamble of ``encode`` and ``encode_modulated``."""
+    sig = np.asarray(signal, np.float32)
+    if sig.size == 0:
+        raise ValueError("cannot encode an empty signal")
+    if sig.ndim == 2 and sig.shape[1] == 1:
+        sig = sig[:, 0]
+    if sig.ndim == 1:
+        return [sig]
+    return [np.ascontiguousarray(sig[:, j]) for j in range(sig.shape[1])]
+
+
+def _model_cfg_from_meta(meta: dict[str, Any]) -> SirenSnakeTanhConfig:
+    """meta['model'] -> SirenSnakeTanhConfig — the ONE place the payload's
+    model-header keys are interpreted (decode, decode_range, load_inr)."""
+    m = meta["model"]
+    return SirenSnakeTanhConfig(
+        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
+        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
+        hidden_omega_0=m["hidden_omega_0"])
+
+
 def _store_shared(shared: Any, fp16: bool) -> Any:
     if not fp16:
         return jax.tree.map(np.asarray, shared)
@@ -460,14 +476,10 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
     from .train.modulated import modulated_fit
 
     cfg = cfg or ModulatedCodecConfig()
-    sig = np.asarray(signal, np.float32)
-    if sig.shape[0] == 0:
-        raise ValueError("cannot encode an empty signal")
-    if sig.ndim == 2 and sig.shape[1] == 1:
-        sig = sig[:, 0]
-    chans = ([sig] if sig.ndim == 1
-             else [np.ascontiguousarray(sig[:, j])
-                   for j in range(sig.shape[1])])
+    if cfg.quantize_mods not in (None, "float16", "int8"):
+        raise ValueError(f"quantize_mods {cfg.quantize_mods!r}: use "
+                         "None | float16 | int8")
+    chans = _split_channels(signal)
     mcfg = MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
                           overlap_fraction=cfg.overlap_fraction)
     per_ch = [chunk_signal(ch, sample_rate, mcfg) for ch in chans]
@@ -493,11 +505,8 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         stored_mods = jax.tree.map(np.asarray, stored_mods)
     elif cfg.quantize_mods == "float16":
         stored_mods = mods.astype(np.float16)
-    elif cfg.quantize_mods is None:
+    else:  # None (validated before the fit)
         stored_mods = mods
-    else:
-        raise ValueError(f"quantize_mods {cfg.quantize_mods!r}: use "
-                         "None | float16 | int8")
     meta = {
         "format": _FORMAT,
         "codec": "modulated",
@@ -530,11 +539,7 @@ def _modulated_decode_fn(payload: dict[str, Any], coords: np.ndarray):
     from .models.modulated import modulated_apply
 
     meta = payload["meta"]
-    m = meta["model"]
-    model_cfg = SirenSnakeTanhConfig(
-        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
-        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
-        hidden_omega_0=m["hidden_omega_0"])
+    model_cfg = _model_cfg_from_meta(meta)
     shared = _load_shared_host(payload["params"]["shared"])
     mods = payload["params"]["mods"]
     if isinstance(mods, dict):  # int8 {'q', 'scale', ...}
@@ -561,12 +566,8 @@ def _payload_model_params(payload: dict[str, Any], fused: bool):
     — shared by ``decode`` and ``decode_range``."""
     meta = payload["meta"]
     _check_format(meta)
-    m = meta["model"]
-    model_cfg = SirenSnakeTanhConfig(
-        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
-        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
-        hidden_omega_0=m["hidden_omega_0"])
-    model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused)
+    model = build_model("mlp", _model_cfg_from_meta(meta), fused=fused,
+                        approx_sin=fused)
     params = payload["params"]
     if meta.get("quantize"):
         params = dequantize_inr_params(params)
@@ -644,11 +645,7 @@ def load_inr(path: str) -> dict[str, Any]:
         meta = json.loads(bytes(f["__meta__"]).decode("utf-8"))
         scales = f["scales"]
         leaves = [f[f"leaf_{i:05d}"] for i in range(int(f["__nleaves__"]))]
-    m = meta["model"]
-    model_cfg = SirenSnakeTanhConfig(
-        hidden_features=m["hidden_features"], num_sine=m["num_sine"],
-        num_snake=m["num_snake"], first_omega_0=m["first_omega_0"],
-        hidden_omega_0=m["hidden_omega_0"])
+    model_cfg = _model_cfg_from_meta(meta)
     if meta.get("codec") == "modulated":
         # template = {mods (maybe int8-dict), shared} — leaf count/structure
         # is all tree_unflatten needs; values come from the file

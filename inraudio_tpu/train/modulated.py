@@ -79,15 +79,18 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     def step(carry, t):
         p, opt, plat, best_loss, best_p = carry
         loss, grads = jax.value_and_grad(loss_fn)(p, t)
+        # snapshot the PRE-update params — they are the ones that achieved
+        # ``loss`` (same semantics as loop.make_train_step)
+        if cfg.track_best:
+            improved = loss < best_loss
+            best_loss = jnp.where(improved, loss, best_loss)
+            best_p = jax.tree.map(
+                lambda b, cur: jnp.where(improved, cur, b), best_p, p)
         if cfg.grad_clip_norm > 0:
             grads = clip_by_global_norm(grads, cfg.grad_clip_norm)
         p, opt = adam_update(opt, grads, p, adam_cfg)
         plat, lr = plateau_update(plat, loss, opt.lr, plat_cfg)
         opt = opt._replace(lr=lr)
-        improved = loss < best_loss
-        best_loss = jnp.where(improved, loss, best_loss)
-        best_p = jax.tree.map(
-            lambda b, n: jnp.where(improved, n, b), best_p, p)
         return (p, opt, plat, best_loss, best_p), loss
 
     @functools.partial(jax.jit, donate_argnums=(0,),
@@ -97,10 +100,6 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                             length=length)
 
     targets_d = jnp.asarray(targets, jnp.float32)
-    # the best snapshot must be a distinct buffer: the carry is donated,
-    # and donating the same array twice is an error
-    carry = (params, adam_init(params, adam_cfg), plateau_init(),
-             jnp.float32(jnp.inf), jax.tree.map(jnp.copy, params))
     if mesh is not None and mesh.devices.size > 1:
         if k % mesh.devices.size:
             raise ValueError(
@@ -109,20 +108,16 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
         from jax.sharding import NamedSharding, PartitionSpec as P
         chunk_sh = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
-        put = lambda x, s: jax.device_put(x, s)  # noqa: E731
-
-        def shard_params(p):
-            return {"shared": jax.tree.map(lambda x: put(x, rep),
-                                           p["shared"]),
-                    "mods": put(p["mods"], chunk_sh)}
-
-        targets_d = put(targets_d, chunk_sh)
-        carry = (shard_params(carry[0]),
-                 jax.tree.map(
-                     lambda x: put(x, rep) if np.ndim(x) == 0 else x,
-                     adam_init(shard_params(params), adam_cfg)),
-                 jax.tree.map(lambda x: put(x, rep), carry[2]),
-                 put(carry[3], rep), shard_params(carry[4]))
+        params = {"shared": jax.device_put(params["shared"], rep),
+                  "mods": jax.device_put(params["mods"], chunk_sh)}
+        targets_d = jax.device_put(targets_d, chunk_sh)
+    # the best snapshot must be a distinct buffer: the carry is donated,
+    # and donating the same array twice is an error.  With
+    # track_best=False no snapshot is carried at all (no duplicate params,
+    # no per-step select).
+    best0 = jax.tree.map(jnp.copy, params) if cfg.track_best else ()
+    carry = (params, adam_init(params, adam_cfg), plateau_init(),
+             jnp.float32(jnp.inf), best0)
     t0 = time.time()
     hists = []
     done = 0

@@ -393,8 +393,27 @@ def test_empty_signal_rejected():
     with pytest.raises(ValueError, match="empty"):
         encode(np.zeros((0,), np.float32), FS, SMALL)
     with pytest.raises(ValueError, match="empty"):
+        encode(np.zeros((100, 0), np.float32), FS, SMALL)  # zero channels
+    with pytest.raises(ValueError, match="empty"):
         encode_modulated(np.zeros((0, 2), np.float32), FS,
                          ModulatedCodecConfig(total_steps=5))
+    # bad modulation quantizer fails BEFORE the (expensive) fit
+    with pytest.raises(ValueError, match="quantize_mods"):
+        encode_modulated(_sig(0.1), FS,
+                         ModulatedCodecConfig(total_steps=5,
+                                              quantize_mods="int4"))
+
+
+def test_cli_modulated_flag_conflicts(capsys):
+    from inraudio_tpu.__main__ import main
+    for argv in (["encode", "--input", "x.wav", "--output", "y",
+                  "--modulated", "--target-bps", "4.5"],
+                 ["encode", "--input", "x.wav", "--output", "y",
+                  "--modulated", "--quantize", "int4"],
+                 ["encode", "--input", "x.wav", "--output", "y",
+                  "--film-scale"]):
+        with pytest.raises(SystemExit):
+            main(argv)
 
 
 def test_modulated_film_scale_roundtrip(tmp_path):

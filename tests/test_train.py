@@ -291,3 +291,33 @@ def test_modulated_fit_shards_over_8_devices():
     import pytest
     with pytest.raises(ValueError, match="shard"):
         modulated_fit(cfg, targets[:7], coords, tc, mesh=make_mesh())
+
+
+def test_modulated_best_snapshot_matches_best_loss():
+    """The returned (shared, mods) must be the params that ACHIEVED the
+    minimum recorded loss (pre-update snapshot), not the post-update ones
+    — with an oscillating lr the two differ materially."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inraudio_tpu.data.coords import get_coord
+    from inraudio_tpu.models.modulated import modulated_apply
+    from inraudio_tpu.models.siren import SirenSnakeTanhConfig
+    from inraudio_tpu.train import TrainConfig
+    from inraudio_tpu.train.modulated import modulated_fit
+
+    k, n = 4, 64
+    rng = np.random.default_rng(3)
+    targets = rng.standard_normal((k, n, 1)).astype(np.float32) * 0.5
+    coords = np.asarray(get_coord(n, dim=1))
+    cfg = SirenSnakeTanhConfig(hidden_features=16, num_sine=1, num_snake=1,
+                               first_omega_0=30.0)
+    res = modulated_fit(cfg, targets, coords,
+                        TrainConfig(total_steps=120, learning_rate=5e-2,
+                                    scan_chunk=60))
+    out = jax.vmap(lambda m: modulated_apply(res.shared, cfg,
+                                             coords, m))(jnp.asarray(res.mods))
+    loss_of_best = float(jnp.mean(jnp.square(out - targets)))
+    assert loss_of_best <= float(res.loss_history.min()) * (1 + 1e-5), (
+        loss_of_best, float(res.loss_history.min()))
