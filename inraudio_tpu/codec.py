@@ -423,6 +423,9 @@ class ModulatedCodecConfig:
     # Full FiLM: per-unit gains as well as shifts (2x mod bytes, per-unit
     # frequency modulation on sine layers)
     film_scale: bool = False
+    # Modulation lr as a multiple of the backbone's (per-chunk, low-dim
+    # params tolerate a hotter rate; plateau scales both, ratio preserved)
+    mods_lr_mult: float = 1.0
     seed: int = 0
 
 
@@ -496,7 +499,8 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         TrainConfig(total_steps=cfg.total_steps,
                     learning_rate=cfg.learning_rate,
                     grad_clip_norm=cfg.grad_clip_norm),
-        key=jax.random.PRNGKey(cfg.seed), film_scale=cfg.film_scale)
+        key=jax.random.PRNGKey(cfg.seed), film_scale=cfg.film_scale,
+        mods_lr_mult=cfg.mods_lr_mult)
 
     mods = np.asarray(res.mods)
     if cfg.quantize_mods == "int8":

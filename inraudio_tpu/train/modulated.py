@@ -44,7 +44,8 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                   cfg: TrainConfig | None = None,
                   key: jax.Array | None = None,
                   mesh=None,
-                  film_scale: bool = False) -> ModulatedFitResult:
+                  film_scale: bool = False,
+                  mods_lr_mult: float = 1.0) -> ModulatedFitResult:
     """Fit backbone + modulations to a (k, n, 1) chunk-target stack.
 
     ``coords`` is the shared per-chunk grid (n, d), kept as a HOST
@@ -57,7 +58,12 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     inserts the backbone-gradient all-reduce (the mean over chunks rides
     ICI; no hand-written collectives).  Chunks must pad to a multiple of
     the mesh size upstream (the codec's chunk counts are arbitrary, so
-    pass a 1-device mesh — or None — unless the caller padded)."""
+    pass a 1-device mesh — or None — unless the caller padded).
+
+    ``mods_lr_mult``: the modulations' learning rate as a multiple of the
+    backbone's (they are per-chunk and low-dimensional, so they often
+    tolerate — and benefit from — a hotter rate).  The plateau scheduler
+    scales both rates together, preserving the ratio."""
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     if cfg.loss_mode != "mse" or cfg.alpha != 0.0:
@@ -88,9 +94,19 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                 lambda b, cur: jnp.where(improved, cur, b), best_p, p)
         if cfg.grad_clip_norm > 0:
             grads = clip_by_global_norm(grads, cfg.grad_clip_norm)
-        p, opt = adam_update(opt, grads, p, adam_cfg)
-        plat, lr = plateau_update(plat, loss, opt.lr, plat_cfg)
-        opt = opt._replace(lr=lr)
+        if mods_lr_mult == 1.0:
+            p, opt = adam_update(opt, grads, p, adam_cfg)
+            plat, lr = plateau_update(plat, loss, opt.lr, plat_cfg)
+            opt = opt._replace(lr=lr)
+        else:
+            sh, opt_sh = adam_update(opt["shared"], grads["shared"],
+                                     p["shared"], adam_cfg)
+            mo, opt_mo = adam_update(opt["mods"], grads["mods"],
+                                     p["mods"], adam_cfg)
+            p = {"shared": sh, "mods": mo}
+            plat, lr = plateau_update(plat, loss, opt_sh.lr, plat_cfg)
+            opt = {"shared": opt_sh._replace(lr=lr),
+                   "mods": opt_mo._replace(lr=lr * mods_lr_mult)}
         return (p, opt, plat, best_loss, best_p), loss
 
     @functools.partial(jax.jit, donate_argnums=(0,),
@@ -116,8 +132,14 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     # track_best=False no snapshot is carried at all (no duplicate params,
     # no per-step select).
     best0 = jax.tree.map(jnp.copy, params) if cfg.track_best else ()
-    carry = (params, adam_init(params, adam_cfg), plateau_init(),
-             jnp.float32(jnp.inf), best0)
+    if mods_lr_mult == 1.0:
+        opt0 = adam_init(params, adam_cfg)
+    else:
+        opt0 = {"shared": adam_init(params["shared"], adam_cfg),
+                "mods": adam_init(
+                    params["mods"],
+                    AdamConfig(lr=cfg.learning_rate * mods_lr_mult))}
+    carry = (params, opt0, plateau_init(), jnp.float32(jnp.inf), best0)
     t0 = time.time()
     hists = []
     done = 0

@@ -67,6 +67,10 @@ POINTS = {
     "wide01_film": dict(chunk_seconds=0.1, hidden_features=128,
                         first_omega_0=1000.0, learning_rate=1e-3,
                         film_scale=True),
+    # hotter modulation lr A/B
+    "mid_hotmods": dict(chunk_seconds=0.05, hidden_features=64,
+                        first_omega_0=500.0, learning_rate=1e-3,
+                        mods_lr_mult=5.0),
 }
 
 

@@ -321,3 +321,29 @@ def test_modulated_best_snapshot_matches_best_loss():
     loss_of_best = float(jnp.mean(jnp.square(out - targets)))
     assert loss_of_best <= float(res.loss_history.min()) * (1 + 1e-5), (
         loss_of_best, float(res.loss_history.min()))
+
+
+def test_modulated_mods_lr_mult():
+    """A hotter modulation lr is a distinct optimizer path (split Adam
+    states, plateau preserves the ratio) — it must run, differ from
+    mult=1, and not diverge on an easy target."""
+    import numpy as np
+
+    from inraudio_tpu.data.coords import get_coord
+    from inraudio_tpu.models.siren import SirenSnakeTanhConfig
+    from inraudio_tpu.train import TrainConfig
+    from inraudio_tpu.train.modulated import modulated_fit
+
+    k, n = 4, 64
+    t = np.arange(k * n) / 1000.0
+    targets = (0.5 * np.sin(2 * np.pi * 30 * t)).reshape(
+        k, n).astype(np.float32)[..., None]
+    coords = np.asarray(get_coord(n, dim=1))
+    cfg = SirenSnakeTanhConfig(hidden_features=16, num_sine=1, num_snake=1,
+                               first_omega_0=30.0)
+    tc = TrainConfig(total_steps=150, learning_rate=1e-3, scan_chunk=50)
+    r1 = modulated_fit(cfg, targets, coords, tc)
+    r5 = modulated_fit(cfg, targets, coords, tc, mods_lr_mult=5.0)
+    assert not np.allclose(r1.loss_history, r5.loss_history)
+    assert np.isfinite(r5.loss_history).all()
+    assert r5.loss_history.min() < r5.loss_history[0]
