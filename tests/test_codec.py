@@ -462,3 +462,23 @@ def test_modulated_decode_upsample():
     err = rec2[::2] - rec1
     snr = 10 * np.log10(np.sum(rec1 ** 2) / (np.sum(err ** 2) + 1e-20))
     assert snr > 30, snr
+
+
+@pytest.mark.slow
+def test_modulated_stereo(tmp_path):
+    """Multichannel modulated payloads: channel-major modulation rows,
+    (n, 2) decode, range decode consistent."""
+    from inraudio_tpu.codec import (ModulatedCodecConfig, decode_range,
+                                    encode_modulated)
+    sig = np.stack([_sig(0.3, 220.0), _sig(0.3, 347.0)], axis=1)
+    payload = encode_modulated(sig, FS, ModulatedCodecConfig(
+        chunk_seconds=0.1, hidden_features=32, first_omega_0=200.0,
+        total_steps=500, learning_rate=2e-3, quantize_mods="int8"))
+    assert payload["meta"]["num_channels"] == 2
+    k = payload["meta"]["num_chunks"]
+    assert payload["params"]["mods"]["q"].shape[0] == 2 * k
+    fs, rec = decode(payload)
+    assert rec.shape == sig.shape
+    a, b = int(round(0.05 * FS)), int(round(0.2 * FS))
+    _, part = decode_range(payload, 0.05, 0.2)
+    np.testing.assert_allclose(part, rec[a:b], rtol=0, atol=1e-6)
