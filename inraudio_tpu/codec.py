@@ -615,6 +615,36 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
     return sr, (chans[0] if c == 1 else np.stack(chans, axis=1))
 
 
+def decode_stream(payload: dict[str, Any], block_s: float = 1.0,
+                  fused: bool = False):
+    """Generator of (start_sample, waveform_block) pairs covering the whole
+    clip in ``block_s``-second blocks — constant-memory streaming decode
+    for serving (each block evaluates only its covering chunks via
+    ``decode_range``; concatenating all blocks equals the full decode to
+    ~1 ulp).  The eval jit is built once and reused across blocks."""
+    meta = payload["meta"]
+    sr = meta["sample_rate"]
+    coords = _decode_grid(meta["chunk_length"], 1)
+    if meta.get("codec") == "modulated":
+        _check_format(meta)
+        fn, params = _modulated_decode_fn(payload, coords)
+    else:
+        _, model, params = _payload_model_params(payload, fused)
+        fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    c = int(meta.get("num_channels", 1))
+    k = meta["num_chunks"]
+    scales = np.asarray(payload["scales"], np.float32)
+    total = meta["signal_length"]
+    step = max(1, int(round(block_s * sr)))
+    for a in range(0, total, step):
+        b = min(a + step, total)
+        chans = [decode_chunk_range(
+            fn, jax.tree.map(lambda x: x[j * k:(j + 1) * k], params),
+            scales[j * k:(j + 1) * k], meta["chunk_length"], meta["hop"],
+            k, total, a, b) for j in range(c)]
+        yield a, (chans[0] if c == 1 else np.stack(chans, axis=1))
+
+
 def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:
     arrays = {"__meta__": np.frombuffer(
         json.dumps(payload["meta"]).encode("utf-8"), dtype=np.uint8),

@@ -482,3 +482,25 @@ def test_modulated_stereo(tmp_path):
     a, b = int(round(0.05 * FS)), int(round(0.2 * FS))
     _, part = decode_range(payload, 0.05, 0.2)
     np.testing.assert_allclose(part, rec[a:b], rtol=0, atol=1e-6)
+
+
+def test_decode_stream_blocks_equal_full():
+    """Streaming decode: concatenated blocks equal the full decode (both
+    per-chunk and modulated payloads), block boundaries are exact."""
+    from inraudio_tpu.codec import (ModulatedCodecConfig, decode_stream,
+                                    encode_modulated)
+    sig = _sig(0.45)
+    p1 = encode(sig, FS, SMALL)
+    _, full1 = decode(p1)
+    blocks = list(decode_stream(p1, block_s=0.13))
+    assert blocks[0][0] == 0 and len(blocks) == 4
+    np.testing.assert_allclose(np.concatenate([b for _, b in blocks]),
+                               full1, rtol=0, atol=1e-6)
+
+    p2 = encode_modulated(sig, FS, ModulatedCodecConfig(
+        chunk_seconds=0.1, hidden_features=24, first_omega_0=200.0,
+        total_steps=150, quantize_mods=None, shared_fp16=False))
+    _, full2 = decode(p2)
+    np.testing.assert_allclose(
+        np.concatenate([b for _, b in decode_stream(p2, block_s=0.2)]),
+        full2, rtol=0, atol=1e-6)
