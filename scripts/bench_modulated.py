@@ -12,13 +12,18 @@ sits vs int8 width steps (22.0 dB @ 2.57 bps etc.).
 Points are named below; add ad-hoc ones via env, e.g.
 ``MOD_STEPS=4000 python scripts/bench_modulated.py mid``.
 
-CPU probe (r3, 2 s gt_bach decimated to 11.025 kHz, 1500 steps, 0.05 s
-chunks, omega 125): modulated h=96 -> 35.0 dB @ 35.5 bps vs per-chunk
-h=48 int8 -> 44.0 dB @ 176.8 bps on the same grid — 5x fewer bits for
--9 dB, with the backbone NOT yet amortised (2 s clip; on the full 7 s
-44.1 kHz clip the fp16 h=96 backbone costs ~1.6 bps).  Modulated h=48
-collapses to 14.7 dB: backbone capacity, not modulation capacity, is the
-binding constraint at this clip complexity.
+CPU probe (r3, 2 s gt_bach decimated to 11.025 kHz, 0.05 s chunks,
+omega 125): modulated h=96 @ 1500 steps -> 35.0 dB @ 35.5 bps, and at
+4000 steps -> **44.7 dB @ 35.5 bps** — MATCHING the per-chunk h=48 int8
+point (44.0 dB @ 176.8 bps, 1500 steps) at 5x fewer bits.  The mode is
+step-limited, not capacity-limited (seconds of extra work at TPU step
+rates), and the backbone is NOT yet amortised on a 2 s clip (on the full
+7 s 44.1 kHz clip the fp16 h=96 backbone costs ~1.6 bps).  Negative
+results from the same probe: modulated h=48 collapses to 14.7 dB
+(backbone capacity binds before modulation capacity), and film_scale at
+h=48/1500 steps HURTS (10.2 vs 14.7 dB) — per-unit frequency gains
+destabilise a small backbone at the shared lr; retry on TPU only with
+mods_lr_mult < 1 for the scale half or a larger backbone.
 """
 
 from __future__ import annotations
