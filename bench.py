@@ -499,7 +499,33 @@ def bench_full() -> float:
     return max(best_snr, final_snr)
 
 
+def _preflight(timeout_s: float = 180.0) -> None:
+    """Fail fast (exit 2, no JSON line) if the device backend is wedged.
+
+    The tunneled axon backend can hang indefinitely even for a tiny
+    fetch (r3 outage: `np.asarray(jnp.ones((8,8)))` blocked >15 min in
+    fresh processes).  A healthy backend completes this probe in <5 s
+    even cold; emitting NO metric line is strictly better than hanging
+    the driver or reporting a fake 0 dB."""
+    import threading
+    ok = []
+
+    def probe():
+        ok.append(float(np.asarray(jnp.zeros((8,), jnp.float32)).sum()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not t.is_alive():
+        return
+    print(f"bench preflight: device backend unresponsive after "
+          f"{timeout_s:.0f}s — aborting without a metric line",
+          file=sys.stderr, flush=True)
+    os._exit(2)
+
+
 def main() -> None:
+    _preflight()
     emit(bench_multi() if MODE == "multi" else bench_full())
 
 
