@@ -45,7 +45,8 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                   key: jax.Array | None = None,
                   mesh=None,
                   film_scale: bool = False,
-                  mods_lr_mult: float = 1.0) -> ModulatedFitResult:
+                  mods_lr_mult: float = 1.0,
+                  frozen_shared: Any = None) -> ModulatedFitResult:
     """Fit backbone + modulations to a (k, n, 1) chunk-target stack.
 
     ``coords`` is the shared per-chunk grid (n, d), kept as a HOST
@@ -63,22 +64,35 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     ``mods_lr_mult``: the modulations' learning rate as a multiple of the
     backbone's (they are per-chunk and low-dimensional, so they often
     tolerate — and benefit from — a hotter rate).  The plateau scheduler
-    scales both rates together, preserving the ratio."""
+    scales both rates together, preserving the ratio.
+
+    ``frozen_shared``: a previously trained backbone (host pytree) —
+    ONLY the modulations train against it (the amortised-codec mode:
+    per-clip storage is modulations alone, the backbone ships once).
+    The backbone stays a host-numpy closure constant."""
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     if cfg.loss_mode != "mse" or cfg.alpha != 0.0:
         raise ValueError("modulated_fit supports loss_mode='mse', alpha=0")
+    if frozen_shared is not None and mods_lr_mult != 1.0:
+        raise ValueError("mods_lr_mult is meaningless with frozen_shared — "
+                         "cfg.learning_rate IS the modulation rate")
     k = targets.shape[0]
     coords = np.asarray(coords, np.float32)
     params = modulated_init(key, model_cfg, k, film_scale)
+    if frozen_shared is not None:
+        host_shared = jax.tree.map(
+            lambda x: np.asarray(x, np.float32), frozen_shared)
+        params = {"mods": params["mods"]}
     adam_cfg = AdamConfig(lr=cfg.learning_rate)
     plat_cfg = PlateauConfig(factor=cfg.plateau_factor,
                              patience=cfg.plateau_patience,
                              min_lr=cfg.min_learning_rate)
 
     def loss_fn(p, t):
+        shared = host_shared if frozen_shared is not None else p["shared"]
         out = jax.vmap(lambda m: modulated_apply(
-            p["shared"], model_cfg, coords, m,
+            shared, model_cfg, coords, m,
             film_scale=film_scale))(p["mods"])
         return jnp.mean(jnp.square(out - t))
 
@@ -124,8 +138,10 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
         from jax.sharding import NamedSharding, PartitionSpec as P
         chunk_sh = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
-        params = {"shared": jax.device_put(params["shared"], rep),
-                  "mods": jax.device_put(params["mods"], chunk_sh)}
+        params = dict(params)
+        if "shared" in params:
+            params["shared"] = jax.device_put(params["shared"], rep)
+        params["mods"] = jax.device_put(params["mods"], chunk_sh)
         targets_d = jax.device_put(targets_d, chunk_sh)
     # the best snapshot must be a distinct buffer: the carry is donated,
     # and donating the same array twice is an error.  With
@@ -155,5 +171,7 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     np.asarray(jax.tree_util.tree_leaves(best_p)[0])
     train_time = time.time() - t0
     hist = np.concatenate([np.asarray(h) for h in hists])
-    return ModulatedFitResult(shared=best_p["shared"], mods=best_p["mods"],
+    shared = (host_shared if frozen_shared is not None
+              else best_p["shared"])
+    return ModulatedFitResult(shared=shared, mods=best_p["mods"],
                               loss_history=hist, train_time_s=train_time)

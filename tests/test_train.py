@@ -347,3 +347,38 @@ def test_modulated_mods_lr_mult():
     assert not np.allclose(r1.loss_history, r5.loss_history)
     assert np.isfinite(r5.loss_history).all()
     assert r5.loss_history.min() < r5.loss_history[0]
+
+
+def test_modulated_frozen_shared_trains_mods_only():
+    """frozen_shared: the backbone is a host constant — only modulations
+    move, the returned shared equals the input bit-for-bit, and the loss
+    still falls (the amortised-codec mode)."""
+    import numpy as np
+
+    from inraudio_tpu.data.coords import get_coord
+    from inraudio_tpu.models.siren import SirenSnakeTanhConfig
+    from inraudio_tpu.train import TrainConfig
+    from inraudio_tpu.train.modulated import modulated_fit
+
+    k, n = 4, 64
+    t = np.arange(k * n) / 1000.0
+    targets = (0.5 * np.sin(2 * np.pi * 25 * t)).reshape(
+        k, n).astype(np.float32)[..., None]
+    coords = np.asarray(get_coord(n, dim=1))
+    cfg = SirenSnakeTanhConfig(hidden_features=16, num_sine=1, num_snake=1,
+                               first_omega_0=30.0)
+    base = modulated_fit(cfg, targets, coords,
+                         TrainConfig(total_steps=100, scan_chunk=50))
+    res = modulated_fit(cfg, targets, coords,
+                        TrainConfig(total_steps=100, learning_rate=5e-3,
+                                    scan_chunk=50),
+                        frozen_shared=base.shared)
+    for a, b in zip(jax.tree_util.tree_leaves(res.shared),
+                    jax.tree_util.tree_leaves(base.shared)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert res.loss_history[-1] < res.loss_history[0]
+
+    import pytest
+    with pytest.raises(ValueError, match="mods_lr_mult"):
+        modulated_fit(cfg, targets, coords, TrainConfig(total_steps=5),
+                      frozen_shared=base.shared, mods_lr_mult=2.0)
