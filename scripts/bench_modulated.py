@@ -24,6 +24,19 @@ results from the same probe: modulated h=48 collapses to 14.7 dB
 h=48/1500 steps HURTS (10.2 vs 14.7 dB) — per-unit frequency gains
 destabilise a small backbone at the shared lr; retry on TPU only with
 mods_lr_mult < 1 for the scale half or a larger backbone.
+
+Convergence lever (same probe): ``mods_lr_mult=5`` -> 41.4 dB at 1500
+steps vs 35.0 at mult=1 — the hotter modulation rate recovers most of
+the 4000-step result (44.7) at 1500 steps; sweep it on TPU.
+
+Backbone-transfer probe (1 s clips, h=96, 3000 steps, clip 1.0): joint
+fit reaches ~96 dB on either 1 s clip, but clip A's frozen backbone
+carries clip B to only **17.6 dB** through mods alone
+(``modulated_fit(frozen_shared=...)``) — a per-clip-overfit backbone
+does not span other audio, even the same piece.  The amortised
+"backbone ships once, clips cost mods only" codec needs corpus-level
+(meta) backbone training; the building block is implemented and tested,
+the result recorded as negative at this scale.
 """
 
 from __future__ import annotations
