@@ -138,6 +138,10 @@ def main(argv=None) -> int:
     enc.add_argument("--film-scale", action="store_true",
                      help="with --modulated: per-unit gains as well as "
                           "shifts (2x modulation bytes, full FiLM)")
+    enc.add_argument("--mods-lr-mult", type=float, default=1.0,
+                     help="with --modulated: modulation lr as a multiple "
+                          "of the backbone's (hotter modulations converge "
+                          "faster; +6 dB at equal steps in the r3 probe)")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
@@ -217,7 +221,8 @@ def main(argv=None) -> int:
                 hidden_features=args.hidden, first_omega_0=args.omega,
                 learning_rate=args.learning_rate,
                 total_steps=args.total_steps, quantize_mods=q,
-                film_scale=args.film_scale))
+                film_scale=args.film_scale,
+                mods_lr_mult=args.mods_lr_mult))
         else:
             cfg = CodecConfig(
                 chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
