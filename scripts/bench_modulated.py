@@ -29,6 +29,11 @@ Convergence lever (same probe): ``mods_lr_mult=5`` -> 41.4 dB at 1500
 steps vs 35.0 at mult=1 — the hotter modulation rate recovers most of
 the 4000-step result (44.7) at 1500 steps; sweep it on TPU.
 
+Saturation: 10000 steps -> 44.9 dB (vs 44.7 at 4000) — the 2 s clip
+caps near 45 dB at h=96, i.e. BACKBONE CAPACITY PER CONTENT-SECOND sets
+the ceiling (the same backbone reaches ~96 dB jointly fit on a 1 s
+clip).  Size the backbone to the clip, not to a constant.
+
 Backbone-transfer probe (1 s clips, h=96, 3000 steps, clip 1.0): joint
 fit reaches ~96 dB on either 1 s clip, but clip A's frozen backbone
 carries clip B to only **17.6 dB** through mods alone
