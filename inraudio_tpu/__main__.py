@@ -142,6 +142,11 @@ def main(argv=None) -> int:
                      help="with --modulated: modulation lr as a multiple "
                           "of the backbone's (hotter modulations converge "
                           "faster; +6 dB at equal steps in the r3 probe)")
+    enc.add_argument("--segment-s", type=float, default=None,
+                     help="with --modulated: one backbone per this many "
+                          "seconds instead of per clip (backbone capacity "
+                          "per content-second sets the quality ceiling; "
+                          "the chunk grid stays global)")
 
     dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
     dec.add_argument("--input", required=True)
@@ -222,7 +227,8 @@ def main(argv=None) -> int:
                 learning_rate=args.learning_rate,
                 total_steps=args.total_steps, quantize_mods=q,
                 film_scale=args.film_scale,
-                mods_lr_mult=args.mods_lr_mult))
+                mods_lr_mult=args.mods_lr_mult,
+                segment_s=args.segment_s))
         else:
             cfg = CodecConfig(
                 chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,

@@ -426,6 +426,14 @@ class ModulatedCodecConfig:
     # Modulation lr as a multiple of the backbone's (per-chunk, low-dim
     # params tolerate a hotter rate; plateau scales both, ratio preserved)
     mods_lr_mult: float = 1.0
+    # One backbone per ~segment_s seconds instead of per clip (None = one
+    # for the whole clip).  The r3 probe showed backbone capacity PER
+    # CONTENT-SECOND sets the quality ceiling (a 1 s clip reaches ~96 dB
+    # where 2 s saturates at ~45 with the same h=96 backbone); segments
+    # hold quality on long clips while the chunk grid — and therefore
+    # stitching, random access and streaming — stays global (adjacent
+    # chunks from different backbones crossfade like any others).
+    segment_s: float | None = None
     seed: int = 0
 
 
@@ -494,15 +502,47 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         hidden_features=cfg.hidden_features, num_sine=cfg.num_sine,
         num_snake=cfg.num_snake, first_omega_0=cfg.first_omega_0,
         hidden_omega_0=cfg.hidden_omega_0)
-    res = modulated_fit(
-        model_cfg, targets, np.asarray(get_coord(n, dim=1)),
-        TrainConfig(total_steps=cfg.total_steps,
-                    learning_rate=cfg.learning_rate,
-                    grad_clip_norm=cfg.grad_clip_norm),
-        key=jax.random.PRNGKey(cfg.seed), film_scale=cfg.film_scale,
-        mods_lr_mult=cfg.mods_lr_mult)
-
-    mods = np.asarray(res.mods)
+    tc = TrainConfig(total_steps=cfg.total_steps,
+                     learning_rate=cfg.learning_rate,
+                     grad_clip_norm=cfg.grad_clip_norm)
+    coords = np.asarray(get_coord(n, dim=1))
+    k = per_ch[0][0].shape[0]
+    c = len(chans)
+    if cfg.segment_s is None:
+        n_seg = 1
+    else:
+        n_seg = max(1, min(k, int(np.ceil(
+            len(chans[0]) / (cfg.segment_s * sample_rate)))))
+    if n_seg == 1:
+        res = modulated_fit(model_cfg, targets, coords,
+                            tc, key=jax.random.PRNGKey(cfg.seed),
+                            film_scale=cfg.film_scale,
+                            mods_lr_mult=cfg.mods_lr_mult)
+        mods = np.asarray(res.mods)
+        shared_stored = _store_shared(res.shared, cfg.shared_fp16)
+        bounds = [0, k]
+    else:
+        # one backbone per chunk-index range (all channels' chunks of a
+        # segment fit together); the chunk grid stays GLOBAL, so stitch /
+        # random access / streaming are untouched
+        from .models.modulated import mod_dim as _md
+        bounds = [round(g * k / n_seg) for g in range(n_seg + 1)]
+        mods = np.zeros((c * k, _md(model_cfg, cfg.film_scale)), np.float32)
+        backbones = []
+        for g in range(n_seg):
+            a, b = bounds[g], bounds[g + 1]
+            tg = np.concatenate([targets[j * k + a: j * k + b]
+                                 for j in range(c)], axis=0)
+            rg = modulated_fit(model_cfg, tg, coords, tc,
+                               key=jax.random.fold_in(
+                                   jax.random.PRNGKey(cfg.seed), g),
+                               film_scale=cfg.film_scale,
+                               mods_lr_mult=cfg.mods_lr_mult)
+            mg = np.asarray(rg.mods)
+            for j in range(c):
+                mods[j * k + a: j * k + b] = mg[j * (b - a): (j + 1) * (b - a)]
+            backbones.append(_store_shared(rg.shared, cfg.shared_fp16))
+        shared_stored = jax.tree.map(lambda *xs: np.stack(xs), *backbones)
     if cfg.quantize_mods == "int8":
         stored_mods = quantize_params(jnp.asarray(mods), "int8",
                                       per_leading_axis=True)
@@ -524,6 +564,8 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         "shared_fp16": bool(cfg.shared_fp16),
         "mod_dim": int(mod_dim(model_cfg, cfg.film_scale)),
         "film_scale": bool(cfg.film_scale),
+        "num_segments": int(n_seg),
+        "segment_bounds": [int(x) for x in bounds],
         "model": {
             "hidden_features": cfg.hidden_features,
             "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,
@@ -532,14 +574,18 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         },
     }
     return {"meta": meta, "scales": scales.astype(np.float32),
-            "params": {"mods": stored_mods,
-                       "shared": _store_shared(res.shared,
-                                               cfg.shared_fp16)}}
+            "params": {"mods": stored_mods, "shared": shared_stored}}
 
 
 def _modulated_decode_fn(payload: dict[str, Any], coords: np.ndarray):
-    """-> (vmapped jitted per-chunk eval over modulation rows, mods array).
-    The f32 backbone stays a host-numpy closure constant."""
+    """-> (vmapped jitted per-chunk eval, per-chunk params tree).
+
+    The params tree is what ``batched_chunk_eval`` / ``decode_chunk_range``
+    slice on the chunk axis: the bare modulation matrix for a one-backbone
+    payload, or {'mod', 'g'} rows for a segmented payload — each chunk
+    gathers its segment's backbone out of the stacked host constant, so
+    range/stream decode work identically.  The f32 backbone(s) stay
+    host-numpy closure constants."""
     from .models.modulated import modulated_apply
 
     meta = payload["meta"]
@@ -551,10 +597,29 @@ def _modulated_decode_fn(payload: dict[str, Any], coords: np.ndarray):
             jax.tree.map(jnp.asarray, mods)))
     mods = np.asarray(mods, np.float32)
     film = bool(meta.get("film_scale", False))
-    fn = jax.jit(jax.vmap(
-        lambda mo: modulated_apply(shared, model_cfg, coords, mo,
-                                   film_scale=film)))
-    return fn, mods
+    n_seg = int(meta.get("num_segments", 1))
+    if n_seg == 1:
+        fn = jax.jit(jax.vmap(
+            lambda mo: modulated_apply(shared, model_cfg, coords, mo,
+                                       film_scale=film)))
+        return fn, mods
+    bounds = np.asarray(meta["segment_bounds"], np.int64)
+    k = meta["num_chunks"]
+    c = int(meta.get("num_channels", 1))
+    # group of per-channel chunk index i, repeated channel-major
+    g_of_i = (np.searchsorted(bounds, np.arange(k), side="right") - 1
+              ).clip(0, n_seg - 1).astype(np.int32)
+    g_rows = np.tile(g_of_i, c)
+
+    def one(chunk):
+        # jnp.asarray: the stacked HOST backbone embeds as a constant at
+        # trace time; the per-chunk gather picks its segment's slice
+        sh = jax.tree.map(lambda x: jnp.asarray(x)[chunk["g"]], shared)
+        return modulated_apply(sh, model_cfg, coords, chunk["mod"],
+                               film_scale=film)
+
+    fn = jax.jit(jax.vmap(one))
+    return fn, {"mod": mods, "g": g_rows}
 
 
 def _check_format(meta: dict[str, Any]) -> None:

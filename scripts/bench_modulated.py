@@ -94,6 +94,13 @@ POINTS = {
     "mid_hotmods": dict(chunk_seconds=0.05, hidden_features=64,
                         first_omega_0=500.0, learning_rate=1e-3,
                         mods_lr_mult=5.0),
+    # segmented backbones: capacity per content-second (gt_bach is 7 s)
+    "seg2_h96": dict(chunk_seconds=0.05, hidden_features=96,
+                     first_omega_0=500.0, learning_rate=1e-3,
+                     mods_lr_mult=5.0, segment_s=2.0),
+    "seg1_h128": dict(chunk_seconds=0.05, hidden_features=128,
+                      first_omega_0=500.0, learning_rate=1e-3,
+                      mods_lr_mult=5.0, segment_s=1.0),
 }
 
 

@@ -504,3 +504,49 @@ def test_decode_stream_blocks_equal_full():
     np.testing.assert_allclose(
         np.concatenate([b for _, b in decode_stream(p2, block_s=0.2)]),
         full2, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_modulated_segmented_backbones(tmp_path):
+    """segment_s: one backbone per segment on a GLOBAL chunk grid.  On a
+    clip whose content changes halfway, two segment backbones beat one
+    whole-clip backbone at equal steps; file round trip, range decode and
+    streaming all work on the stacked-backbone payload."""
+    from inraudio_tpu.codec import (ModulatedCodecConfig, decode_range,
+                                    decode_stream, encode_modulated)
+
+    # 0.6 s: 220 Hz then 900 Hz — a capacity stress for one tiny backbone
+    t1 = np.arange(int(0.3 * FS)) / FS
+    sig = np.concatenate([0.7 * np.sin(2 * np.pi * 220 * t1),
+                          0.7 * np.sin(2 * np.pi * 900 * t1)]).astype(
+        np.float32)
+    base = dict(chunk_seconds=0.1, hidden_features=20, first_omega_0=200.0,
+                total_steps=500, learning_rate=2e-3, quantize_mods=None,
+                shared_fp16=False)
+    p1 = encode_modulated(sig, FS, ModulatedCodecConfig(**base))
+    p2 = encode_modulated(sig, FS, ModulatedCodecConfig(
+        **base, segment_s=0.3))
+    assert p1["meta"]["num_segments"] == 1
+    assert p2["meta"]["num_segments"] == 2
+    assert len(p2["meta"]["segment_bounds"]) == 3
+
+    def snr(p):
+        _, rec = decode(p)
+        return 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+
+    s1, s2 = snr(p1), snr(p2)
+    assert s2 > s1 + 3.0, (s1, s2)   # split capacity wins clearly
+
+    # file round trip (stacked backbone leaves)
+    path = save_inr(str(tmp_path / "seg.inr"), p2)
+    _, rec_a = decode(load_inr(path))
+    _, rec_b = decode(p2)
+    np.testing.assert_allclose(rec_a, rec_b, atol=1e-6)
+
+    # random access + streaming across the segment boundary
+    a, b = int(round(0.2 * FS)), int(round(0.4 * FS))
+    _, part = decode_range(p2, 0.2, 0.4)
+    np.testing.assert_allclose(part, rec_b[a:b], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.concatenate([blk for _, blk in decode_stream(p2, block_s=0.25)]),
+        rec_b, rtol=0, atol=1e-6)
