@@ -34,6 +34,14 @@ caps near 45 dB at h=96, i.e. BACKBONE CAPACITY PER CONTENT-SECOND sets
 the ceiling (the same backbone reaches ~96 dB jointly fit on a 1 s
 clip).  Size the backbone to the clip, not to a constant.
 
+Segmentation (same probe): ``segment_s=1`` (2x h=96 backbones,
+mods_lr_mult=5, int8 mods, 3000 steps) -> 48.8 dB — past the whole-clip
+10k-step ceiling at 1/3 the steps.  It lands well short of the ~96 dB
+the same 1 s fits reach with FLOAT mods because int8 modulation
+quantization caps reconstruction in the tens of dB (the standalone 96 dB
+probes used unquantized mods): use ``quantize_mods='float16'`` for hi-fi
+segmented points, int8 for the low-rate frontier.
+
 Backbone-transfer probe (1 s clips, h=96, 3000 steps, clip 1.0): joint
 fit reaches ~96 dB on either 1 s clip, but clip A's frozen backbone
 carries clip B to only **17.6 dB** through mods alone
