@@ -200,7 +200,6 @@ def main(argv=None) -> int:
         if args.modulated:
             for flag, on in (("--target-bps", args.target_bps is not None),
                              ("--per-row-scales", args.per_row_scales),
-                             ("--refit-steps", args.refit_steps > 0),
                              ("--fused", args.fused),
                              ("--max-chunks", bool(args.max_chunks))):
                 if on:
@@ -228,7 +227,10 @@ def main(argv=None) -> int:
                 total_steps=args.total_steps, quantize_mods=q,
                 film_scale=args.film_scale,
                 mods_lr_mult=args.mods_lr_mult,
-                segment_s=args.segment_s))
+                segment_s=args.segment_s,
+                # --refit-steps means the quantization-aware refit in both
+                # modes: float leaves there, the backbone here
+                refit_backbone_steps=args.refit_steps))
         else:
             cfg = CodecConfig(
                 chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,

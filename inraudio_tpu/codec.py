@@ -434,6 +434,13 @@ class ModulatedCodecConfig:
     # stitching, random access and streaming — stays global (adjacent
     # chunks from different backbones crossfade like any others).
     segment_s: float | None = None
+    # Quantization-aware backbone refit: after quantizing the modulations,
+    # fine-tune the (float) backbone with the mods FROZEN at their
+    # dequantized values — the backbone absorbs part of the quantization
+    # error (probe: int8 mods cap a 99 dB fit at ~48 dB, float16 at ~76;
+    # the dual of CodecConfig.refit_steps).  0 = off.
+    refit_backbone_steps: int = 0
+    refit_lr: float = 2e-4
     seed: int = 0
 
 
@@ -519,7 +526,7 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
                             film_scale=cfg.film_scale,
                             mods_lr_mult=cfg.mods_lr_mult)
         mods = np.asarray(res.mods)
-        shared_stored = _store_shared(res.shared, cfg.shared_fp16)
+        backbones_f32 = [res.shared]
         bounds = [0, k]
     else:
         # one backbone per chunk-index range (all channels' chunks of a
@@ -541,16 +548,43 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
             mg = np.asarray(rg.mods)
             for j in range(c):
                 mods[j * k + a: j * k + b] = mg[j * (b - a): (j + 1) * (b - a)]
-            backbones.append(_store_shared(rg.shared, cfg.shared_fp16))
-        shared_stored = jax.tree.map(lambda *xs: np.stack(xs), *backbones)
+            backbones.append(rg.shared)
+        backbones_f32 = backbones
     if cfg.quantize_mods == "int8":
         stored_mods = quantize_params(jnp.asarray(mods), "int8",
                                       per_leading_axis=True)
         stored_mods = jax.tree.map(np.asarray, stored_mods)
+        deq_mods = np.asarray(dequantize_params(
+            jax.tree.map(jnp.asarray, stored_mods)))
     elif cfg.quantize_mods == "float16":
         stored_mods = mods.astype(np.float16)
+        deq_mods = stored_mods.astype(np.float32)
     else:  # None (validated before the fit)
         stored_mods = mods
+        deq_mods = mods
+    if cfg.quantize_mods and cfg.refit_backbone_steps > 0:
+        # quantization-aware backbone refit: freeze the mods at their
+        # dequantized values, fine-tune each (float) backbone to absorb
+        # part of the quantization error
+        rtc = TrainConfig(total_steps=cfg.refit_backbone_steps,
+                          learning_rate=cfg.refit_lr,
+                          grad_clip_norm=cfg.grad_clip_norm)
+        refitted = []
+        for g in range(n_seg):
+            a, b = bounds[g], bounds[g + 1]
+            rows = np.concatenate([deq_mods[j * k + a: j * k + b]
+                                   for j in range(c)], axis=0)
+            tg = (targets if n_seg == 1 else np.concatenate(
+                [targets[j * k + a: j * k + b] for j in range(c)], axis=0))
+            rr = modulated_fit(model_cfg, tg, coords, rtc,
+                               frozen_mods=rows,
+                               init_shared=backbones_f32[g],
+                               film_scale=cfg.film_scale)
+            refitted.append(rr.shared)
+        backbones_f32 = refitted
+    stored_bb = [_store_shared(bb, cfg.shared_fp16) for bb in backbones_f32]
+    shared_stored = (stored_bb[0] if n_seg == 1 else
+                     jax.tree.map(lambda *xs: np.stack(xs), *stored_bb))
     meta = {
         "format": _FORMAT,
         "codec": "modulated",

@@ -46,7 +46,9 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
                   mesh=None,
                   film_scale: bool = False,
                   mods_lr_mult: float = 1.0,
-                  frozen_shared: Any = None) -> ModulatedFitResult:
+                  frozen_shared: Any = None,
+                  frozen_mods: np.ndarray | None = None,
+                  init_shared: Any = None) -> ModulatedFitResult:
     """Fit backbone + modulations to a (k, n, 1) chunk-target stack.
 
     ``coords`` is the shared per-chunk grid (n, d), kept as a HOST
@@ -69,7 +71,13 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     ``frozen_shared``: a previously trained backbone (host pytree) —
     ONLY the modulations train against it (the amortised-codec mode:
     per-clip storage is modulations alone, the backbone ships once).
-    The backbone stays a host-numpy closure constant."""
+    The backbone stays a host-numpy closure constant.
+
+    ``frozen_mods``: the dual — modulations stay fixed (host constant,
+    e.g. at their dequantized int8 values) and ONLY the backbone trains,
+    absorbing part of the modulation-quantization error (the modulated
+    analogue of the per-chunk codec's quantization-aware refit).
+    ``init_shared`` warm-starts the backbone (used with frozen_mods)."""
     cfg = cfg or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     if cfg.loss_mode != "mse" or cfg.alpha != 0.0:
@@ -77,13 +85,24 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     if frozen_shared is not None and mods_lr_mult != 1.0:
         raise ValueError("mods_lr_mult is meaningless with frozen_shared — "
                          "cfg.learning_rate IS the modulation rate")
+    if frozen_mods is not None and frozen_shared is not None:
+        raise ValueError("frozen_mods and frozen_shared together leave "
+                         "nothing to train")
+    if frozen_mods is not None and mods_lr_mult != 1.0:
+        raise ValueError("mods_lr_mult is meaningless with frozen_mods")
     k = targets.shape[0]
     coords = np.asarray(coords, np.float32)
     params = modulated_init(key, model_cfg, k, film_scale)
+    if init_shared is not None:
+        params = dict(params, shared=jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x, np.float32)), init_shared))
     if frozen_shared is not None:
         host_shared = jax.tree.map(
             lambda x: np.asarray(x, np.float32), frozen_shared)
         params = {"mods": params["mods"]}
+    if frozen_mods is not None:
+        host_mods = np.asarray(frozen_mods, np.float32)
+        params = {"shared": params["shared"]}
     adam_cfg = AdamConfig(lr=cfg.learning_rate)
     plat_cfg = PlateauConfig(factor=cfg.plateau_factor,
                              patience=cfg.plateau_patience,
@@ -91,9 +110,9 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
 
     def loss_fn(p, t):
         shared = host_shared if frozen_shared is not None else p["shared"]
+        mods = host_mods if frozen_mods is not None else p["mods"]
         out = jax.vmap(lambda m: modulated_apply(
-            shared, model_cfg, coords, m,
-            film_scale=film_scale))(p["mods"])
+            shared, model_cfg, coords, m, film_scale=film_scale))(mods)
         return jnp.mean(jnp.square(out - t))
 
     def step(carry, t):
@@ -141,7 +160,8 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
         params = dict(params)
         if "shared" in params:
             params["shared"] = jax.device_put(params["shared"], rep)
-        params["mods"] = jax.device_put(params["mods"], chunk_sh)
+        if "mods" in params:
+            params["mods"] = jax.device_put(params["mods"], chunk_sh)
         targets_d = jax.device_put(targets_d, chunk_sh)
     # the best snapshot must be a distinct buffer: the carry is donated,
     # and donating the same array twice is an error.  With
@@ -173,5 +193,6 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     hist = np.concatenate([np.asarray(h) for h in hists])
     shared = (host_shared if frozen_shared is not None
               else best_p["shared"])
-    return ModulatedFitResult(shared=shared, mods=best_p["mods"],
+    mods = host_mods if frozen_mods is not None else best_p["mods"]
+    return ModulatedFitResult(shared=shared, mods=mods,
                               loss_history=hist, train_time_s=train_time)

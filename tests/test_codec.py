@@ -550,3 +550,30 @@ def test_modulated_segmented_backbones(tmp_path):
     np.testing.assert_allclose(
         np.concatenate([blk for _, blk in decode_stream(p2, block_s=0.25)]),
         rec_b, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_modulated_backbone_refit_recovers_quantization_loss(tmp_path):
+    """Quantization-aware BACKBONE refit (frozen dequantized mods): must
+    recover a measurable part of the int8 modulation-quantization loss."""
+    from inraudio_tpu.codec import ModulatedCodecConfig, encode_modulated
+
+    sig = _sig(0.4)
+    base = dict(chunk_seconds=0.1, hidden_features=24, first_omega_0=200.0,
+                total_steps=500, learning_rate=2e-3, quantize_mods="int8",
+                shared_fp16=False, mods_lr_mult=5.0)
+    p0 = encode_modulated(sig, FS, ModulatedCodecConfig(**base))
+    p1 = encode_modulated(sig, FS, ModulatedCodecConfig(
+        **base, refit_backbone_steps=300))
+
+    def snr(p):
+        _, rec = decode(p)
+        return 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+
+    s0, s1 = snr(p0), snr(p1)
+    assert s1 > s0 + 1.0, (s0, s1)
+    # refit payload still round-trips through a file
+    path = save_inr(str(tmp_path / "rb.inr"), p1)
+    _, rec_a = decode(load_inr(path))
+    _, rec_b = decode(p1)
+    np.testing.assert_allclose(rec_a, rec_b, atol=1e-6)
