@@ -207,8 +207,15 @@ def main(argv=None) -> int:
             if args.quantize in ("bfloat16", "int4"):
                 ap.error("--modulated quantizes the modulations: use "
                          "none, float16 or int8")
+            if args.refit_steps > 0 and args.quantize == "none":
+                ap.error("--refit-steps with --modulated needs quantized "
+                         "modulations (--quantize float16/int8)")
         elif args.film_scale:
             ap.error("--film-scale requires --modulated")
+        elif args.segment_s is not None:
+            ap.error("--segment-s requires --modulated")
+        elif args.mods_lr_mult != 1.0:
+            ap.error("--mods-lr-mult requires --modulated")
         import numpy as np
         from .codec import CodecConfig, compression_stats, encode, save_inr
         from .data.audio_io import read_wav

@@ -497,6 +497,12 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
     if cfg.quantize_mods not in (None, "float16", "int8"):
         raise ValueError(f"quantize_mods {cfg.quantize_mods!r}: use "
                          "None | float16 | int8")
+    if cfg.segment_s is not None and cfg.segment_s <= 0:
+        raise ValueError(f"segment_s must be positive, got {cfg.segment_s}")
+    if cfg.refit_backbone_steps > 0 and cfg.quantize_mods is None:
+        raise ValueError("refit_backbone_steps needs quantized modulations "
+                         "(quantize_mods float16/int8) — with float mods "
+                         "there is no quantization error to absorb")
     chans = _split_channels(signal)
     mcfg = MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
                           overlap_fraction=cfg.overlap_fraction)
@@ -532,9 +538,9 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         # one backbone per chunk-index range (all channels' chunks of a
         # segment fit together); the chunk grid stays GLOBAL, so stitch /
         # random access / streaming are untouched
-        from .models.modulated import mod_dim as _md
         bounds = [round(g * k / n_seg) for g in range(n_seg + 1)]
-        mods = np.zeros((c * k, _md(model_cfg, cfg.film_scale)), np.float32)
+        mods = np.zeros((c * k, mod_dim(model_cfg, cfg.film_scale)),
+                        np.float32)
         backbones = []
         for g in range(n_seg):
             a, b = bounds[g], bounds[g + 1]

@@ -88,6 +88,9 @@ def modulated_fit(model_cfg: SirenSnakeTanhConfig,
     if frozen_mods is not None and frozen_shared is not None:
         raise ValueError("frozen_mods and frozen_shared together leave "
                          "nothing to train")
+    if init_shared is not None and frozen_shared is not None:
+        raise ValueError("init_shared is discarded under frozen_shared — "
+                         "pass one or the other")
     if frozen_mods is not None and mods_lr_mult != 1.0:
         raise ValueError("mods_lr_mult is meaningless with frozen_mods")
     k = targets.shape[0]

@@ -411,7 +411,14 @@ def test_cli_modulated_flag_conflicts(capsys):
                  ["encode", "--input", "x.wav", "--output", "y",
                   "--modulated", "--quantize", "int4"],
                  ["encode", "--input", "x.wav", "--output", "y",
-                  "--film-scale"]):
+                  "--modulated", "--quantize", "none",
+                  "--refit-steps", "100"],
+                 ["encode", "--input", "x.wav", "--output", "y",
+                  "--film-scale"],
+                 ["encode", "--input", "x.wav", "--output", "y",
+                  "--segment-s", "1.0"],
+                 ["encode", "--input", "x.wav", "--output", "y",
+                  "--mods-lr-mult", "5"]):
         with pytest.raises(SystemExit):
             main(argv)
 
@@ -577,3 +584,27 @@ def test_modulated_backbone_refit_recovers_quantization_loss(tmp_path):
     _, rec_a = decode(load_inr(path))
     _, rec_b = decode(p1)
     np.testing.assert_allclose(rec_a, rec_b, atol=1e-6)
+
+
+def test_modulated_config_validation():
+    from inraudio_tpu.codec import ModulatedCodecConfig, encode_modulated
+    with pytest.raises(ValueError, match="segment_s"):
+        encode_modulated(_sig(0.2), FS,
+                         ModulatedCodecConfig(total_steps=5, segment_s=0.0))
+    with pytest.raises(ValueError, match="refit_backbone_steps"):
+        encode_modulated(_sig(0.2), FS,
+                         ModulatedCodecConfig(total_steps=5,
+                                              quantize_mods=None,
+                                              refit_backbone_steps=10))
+    from inraudio_tpu.train.modulated import modulated_fit
+    from inraudio_tpu.models.siren import SirenSnakeTanhConfig
+    from inraudio_tpu.train import TrainConfig
+    import numpy as np
+    cfg = SirenSnakeTanhConfig(hidden_features=8, num_sine=1, num_snake=0,
+                               first_omega_0=30.0)
+    t = np.zeros((2, 16, 1), np.float32)
+    co = np.linspace(-1, 1, 16, dtype=np.float32)[:, None]
+    base = modulated_fit(cfg, t, co, TrainConfig(total_steps=2))
+    with pytest.raises(ValueError, match="init_shared"):
+        modulated_fit(cfg, t, co, TrainConfig(total_steps=2),
+                      frozen_shared=base.shared, init_shared=base.shared)
