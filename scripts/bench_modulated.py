@@ -38,7 +38,11 @@ Segmentation (same probe): ``segment_s=1`` (2x h=96 backbones,
 mods_lr_mult=5, int8 mods, 3000 steps) -> 48.8 dB — past the whole-clip
 10k-step ceiling at 1/3 the steps.  On 3 s with THREE 1 s backbones,
 fp16 mods and only 2000 steps: **62.9 dB** — segmented fp16 is the hi-fi
-recipe (int8 + backbone refit the low-rate one).  It lands well short of the ~96 dB
+recipe (int8 + backbone refit the low-rate one).  Low-rate check:
+seg1 h=48 int8+refit on the 2 s probe -> 29.4 dB @ 18.2 bps (~4.5 bps at
+44.1 kHz) — TIES the per-chunk compressive point (28.7 dB @ 4.5 bps)
+rather than beating it; the modulated mode's advantage concentrates in
+the mid/hi-fi rates where per-chunk parameter sets dominate the payload.  It lands well short of the ~96 dB
 the same 1 s fits reach with FLOAT mods because int8 modulation
 quantization caps reconstruction in the tens of dB (the standalone 96 dB
 probes used unquantized mods): use ``quantize_mods='float16'`` for hi-fi
