@@ -8,7 +8,9 @@ pair, built on the framework's fastest path:
 - ``encode``: split the clip into windows (multi-INR, train/multi_inr.py),
   fit every window simultaneously in one vmapped jitted scan, snapshot each
   window's best parameters, optionally quantize (float16 / bfloat16 / int8 / int4,
-  models/quantize.py), and pack everything into a single .npz payload.
+  models/quantize.py), and pack everything into a single file — the INRA
+  container (per-leaf best-of lossless entropy coding, ``save_inr``) by
+  default, legacy .npz on request.
 - ``decode``: rebuild the model from the stored config, dense-evaluate every
   window (one vmapped forward), de-quantize + de-normalise, and stitch with
   the crossfade overlap-add.
@@ -22,6 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import lzma
+import zlib
 from typing import Any
 
 import jax
@@ -61,6 +65,10 @@ class CodecConfig:
     # k*h extra float32 scales for a much tighter grid (int4 needs this to
     # stay audible; see BASELINE.md rate-distortion table)
     per_row_scales: bool = False
+    # Store the layers-1+ side leaves (biases, snake a) as fp16 — ~20% of
+    # an h=32 int8 payload halved for <=0.03 dB at every measured point;
+    # False ships them float32 (the pre-r3 legacy layout)
+    side_quantize: bool = True
     fused: bool = False                # Pallas path (TPU only)
     seed: int = 0
     # Quantization-aware refit: after quantizing the hidden/last weight
@@ -126,16 +134,36 @@ def config_for_bitrate(target_bits_per_sample: float,
     return dataclasses.replace(base, **chosen)
 
 
+# Side leaves (layers-1+ biases, snake a) ship as fp16 for every quantize
+# mode: measured exactly free (<=0.03 dB) at 15/19/28/44 dB operating
+# points, while int8 sides — cheap at <=19 dB (-0.03) — cost 3.4 dB at a
+# 44 dB point (tests/test_codec.py::test_side_quantization_snr_parity's
+# config).  fp16 halves the ~20% float32 side share of an h=32 payload.
+_SIDE_MODE = {"float16": "float16", "bfloat16": "bfloat16",
+              "int8": "float16", "int4": "float16"}
+
+
 def quantize_inr_params(params: Any, mode: str,
-                        per_row: bool = False) -> Any:
+                        per_row: bool = False,
+                        side: bool = True) -> Any:
     """Sensitivity-aware quantization of (stacked) SirenWithSnakeTanh params.
 
-    The FIRST layer's weights are multiplied by omega0 (~10^2-10^4) before
-    the sin — fp16's ~5e-4 relative weight error becomes an O(0.1 rad)
-    phase error there and destroys the reconstruction (measured: 27 dB vs
-    98 dB on the same fit).  So layer 0's weights, every bias, and the
-    snake ``a`` vectors stay float32 (together a ~1% byte share); only the
-    hidden/last weight matrices are quantized, with per-chunk int8 scales.
+    The FIRST layer sits inside ``sin(omega0 * (Wx + b))`` with omega0
+    ~10^2-10^4, so BOTH its weights and bias are amplified — fp16's ~5e-4
+    relative error becomes an O(0.1 rad) phase error there and destroys
+    the reconstruction (measured: 27 dB vs 98 dB on the same fit for the
+    weights; casting the whole of layer 0 costs ~9 dB even at a ~19 dB
+    operating point).  Layer 0 therefore stays float32 end to end.
+
+    Hidden/last weight matrices quantize at ``mode`` with per-chunk
+    scales.  ``side=True`` (default) additionally stores the layers-1+
+    SIDE leaves (biases, snake ``a``) at the conservative ``_SIDE_MODE``
+    tier (fp16): hidden pre-activations see only omega_hidden ~30, so fp16
+    sides are exact to the measurement at 15-44 dB operating points —
+    while the float32 side share is ~20% of an h=32 int8 payload (int8
+    sides were tried and rejected: free at <=19 dB but -3.4 dB at 44 dB).
+    ``side=False`` reproduces the legacy layout (how ``load_inr`` rebuilds
+    templates for payloads without the ``side_quantized`` header key).
     """
     out_layers = []
     for li, layer in enumerate(params["layers"]):
@@ -144,6 +172,22 @@ def quantize_inr_params(params: Any, mode: str,
             new["w"] = quantize_params(layer["w"], mode,
                                        per_leading_axis=True,
                                        per_row=per_row)
+        out_layers.append(new)
+    out = {"layers": out_layers}
+    return _quantize_sides(out, mode) if side else out
+
+
+def _quantize_sides(params: Any, mode: str) -> Any:
+    """Quantize the layers-1+ SIDE leaves (non-``w``, not already
+    quantized) at the conservative ``_SIDE_MODE`` tier."""
+    out_layers = []
+    for li, layer in enumerate(params["layers"]):
+        new = dict(layer)
+        if li > 0:
+            for k, v in layer.items():
+                if k != "w" and not isinstance(v, dict):
+                    new[k] = quantize_params(v, _SIDE_MODE[mode],
+                                             per_leading_axis=True)
         out_layers.append(new)
     return {"layers": out_layers}
 
@@ -211,7 +255,8 @@ def quantization_aware_refit(model, params: Any, mode: str,
                              targets: np.ndarray, coords: np.ndarray,
                              steps: int, lr: float = 1e-4,
                              max_chunks_per_batch: int | None = None,
-                             per_row: bool = False) -> Any:
+                             per_row: bool = False,
+                             side: bool = True) -> Any:
     """Refit the float32 leaves around frozen quantized weights.
 
     ``params`` is the stacked (k, ...) float32 best-params pytree;
@@ -252,7 +297,7 @@ def quantization_aware_refit(model, params: Any, mode: str,
         trainable = _refit_trainable(model, params, mode, targets, coords,
                                      steps, lr, per_row=per_row)
 
-    q = quantize_inr_params(params, mode, per_row=per_row)
+    q = quantize_inr_params(params, mode, per_row=per_row, side=False)
     stored_layers = []
     for li in range(len(q["layers"])):
         new = {kk: np.asarray(v)
@@ -260,7 +305,11 @@ def quantization_aware_refit(model, params: Any, mode: str,
         if li > 0:
             new["w"] = q["layers"][li]["w"]
         stored_layers.append(new)
-    return {"layers": stored_layers}
+    # the refitted side leaves ship at the same conservative fp16 tier as
+    # a non-refit payload (the refit's absorption survives the cast — fp16
+    # sides are exact to the measurement at 15-44 dB points)
+    stored = {"layers": stored_layers}
+    return _quantize_sides(stored, mode) if side else stored
 
 
 def encode(signal: np.ndarray, sample_rate: int,
@@ -312,10 +361,11 @@ def encode(signal: np.ndarray, sample_rate: int,
             model, params, cfg.quantize, targets,
             np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr,
             max_chunks_per_batch=cfg.max_chunks_per_batch,
-            per_row=cfg.per_row_scales)
+            per_row=cfg.per_row_scales, side=cfg.side_quantize)
     elif cfg.quantize:
         stored = quantize_inr_params(params, cfg.quantize,
-                                     per_row=cfg.per_row_scales)
+                                     per_row=cfg.per_row_scales,
+                                     side=cfg.side_quantize)
     else:
         stored = params
 
@@ -329,6 +379,7 @@ def encode(signal: np.ndarray, sample_rate: int,
         "num_channels": len(chans),
         "quantize": cfg.quantize,
         "per_row_scales": bool(cfg.per_row_scales),
+        "side_quantized": bool(cfg.quantize and cfg.side_quantize),
         "model": {
             "hidden_features": cfg.hidden_features,
             "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,
@@ -766,24 +817,166 @@ def _flatten_payload(payload: dict[str, Any]) -> dict[str, np.ndarray]:
     return arrays
 
 
+# ---- INRA container: per-leaf best-of lossless entropy coding ----------
+#
+# np.savez_compressed is zipfile DEFLATE (zlib ~level 6) over each leaf's
+# raw bytes.  Two lossless transforms beat that on INR payloads (measured
+# on real gt_bach encodes): a BYTE-PLANE SHUFFLE before compression for
+# multi-byte floats (fp16 leaves: deflate 0.92 of raw -> shuffled-LZMA
+# 0.84-0.88 — exponent bytes group together), and a chunk-axis->last
+# TRANSPOSE for int8 modulation matrices (adjacent chunks are temporally
+# correlated per coordinate: 0.97 -> 0.93).  Trained int8 weight streams
+# are near entropy-flat (deflate ~0.96, nothing beats it meaningfully).
+# The container tries every applicable coding per leaf and stores the
+# winner's tag, so it is never worse than raw and decode is exact.
+
+_INRA_MAGIC = b"INRA1\x00"
+_LZMA_FILTERS = ({"id": lzma.FILTER_LZMA2, "preset": 6},)
+
+
+def _lzma_c(b: bytes) -> bytes:
+    return lzma.compress(b, format=lzma.FORMAT_RAW,
+                         filters=list(_LZMA_FILTERS))
+
+
+def _lzma_d(b: bytes) -> bytes:
+    return lzma.decompress(b, format=lzma.FORMAT_RAW,
+                           filters=list(_LZMA_FILTERS))
+
+
+def _byte_shuffle(b: bytes, itemsize: int) -> bytes:
+    a = np.frombuffer(b, np.uint8).reshape(-1, itemsize)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
+def _byte_unshuffle(b: bytes, itemsize: int) -> bytes:
+    a = np.frombuffer(b, np.uint8).reshape(itemsize, -1)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
+def _encode_leaf(arr: np.ndarray) -> tuple[dict[str, Any], bytes]:
+    """-> (spec, blob). Lossless; keeps the smallest applicable coding."""
+    a = np.ascontiguousarray(np.asarray(arr))
+    if a.dtype == jnp.bfloat16:
+        dtype, bits = "bfloat16", a.view(np.uint16)
+    else:
+        dtype, bits = a.dtype.name, a
+    raw = bits.tobytes()
+    cands: dict[str, bytes] = {"raw": raw}
+    if len(raw) >= 256:
+        cands["zlib"] = zlib.compress(raw, 9)
+        cands["lzma"] = _lzma_c(raw)
+        if bits.dtype.itemsize > 1:
+            sh = _byte_shuffle(raw, bits.dtype.itemsize)
+            cands["shuf+zlib"] = zlib.compress(sh, 9)
+            cands["shuf+lzma"] = _lzma_c(sh)
+        if bits.dtype.itemsize == 1 and a.ndim >= 2 and a.shape[0] > 1:
+            t = np.ascontiguousarray(np.moveaxis(bits, 0, -1)).tobytes()
+            cands["T+lzma"] = _lzma_c(t)
+    enc = min(cands, key=lambda k: len(cands[k]))
+    blob = cands[enc]
+    return {"dtype": dtype, "shape": [int(s) for s in a.shape],
+            "enc": enc, "n": len(blob)}, blob
+
+
+def _decode_leaf(spec: dict[str, Any], blob: bytes) -> np.ndarray:
+    dtype = (np.dtype(jnp.bfloat16) if spec["dtype"] == "bfloat16"
+             else np.dtype(spec["dtype"]))
+    shape = tuple(spec["shape"])
+    enc = spec["enc"]
+    store_dt = np.dtype(np.uint16) if spec["dtype"] == "bfloat16" else dtype
+    if enc == "raw":
+        b = blob
+    elif enc == "zlib":
+        b = zlib.decompress(blob)
+    elif enc == "lzma":
+        b = _lzma_d(blob)
+    elif enc == "shuf+zlib":
+        b = _byte_unshuffle(zlib.decompress(blob), store_dt.itemsize)
+    elif enc == "shuf+lzma":
+        b = _byte_unshuffle(_lzma_d(blob), store_dt.itemsize)
+    elif enc == "T+lzma":
+        t = np.frombuffer(_lzma_d(blob), store_dt)
+        t = t.reshape(shape[1:] + shape[:1])
+        return np.ascontiguousarray(np.moveaxis(t, -1, 0)).view(dtype)
+    else:
+        raise ValueError(f"unknown leaf coding {enc!r} — payload written "
+                         "by a newer build?")
+    return np.frombuffer(b, store_dt).reshape(shape).view(dtype)
+
+
+def _write_inra(path: str, payload: dict[str, Any]) -> None:
+    leaves, _ = jax.tree_util.tree_flatten(payload["params"])
+    entries, blobs = [], []
+    for name, arr in ([("scales", payload["scales"])]
+                      + [(f"leaf_{i:05d}", l) for i, l in enumerate(leaves)]):
+        spec, blob = _encode_leaf(np.asarray(arr))
+        spec["name"] = name
+        entries.append(spec)
+        blobs.append(blob)
+    header = json.dumps({"meta": payload["meta"], "entries": entries,
+                         "nleaves": len(leaves)}).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(_INRA_MAGIC)
+        f.write(len(header).to_bytes(4, "little"))
+        f.write(header)
+        for blob in blobs:
+            f.write(blob)
+
+
+def _read_inra(path: str):
+    with open(path, "rb") as f:
+        magic = f.read(len(_INRA_MAGIC))
+        if magic != _INRA_MAGIC:
+            raise ValueError(f"{path}: not an INRA payload")
+        hlen = int.from_bytes(f.read(4), "little")
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        arrays = {}
+        for spec in header["entries"]:
+            arrays[spec["name"]] = _decode_leaf(spec, f.read(spec["n"]))
+    meta = header["meta"]
+    scales = arrays["scales"]
+    leaves = [arrays[f"leaf_{i:05d}"] for i in range(header["nleaves"])]
+    return meta, scales, leaves
+
+
 def save_inr(path: str, payload: dict[str, Any]) -> str:
-    """Write the payload as one compressed .npz; returns the path."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    np.savez_compressed(path, **_flatten_payload(payload))
+    """Write the payload as one compressed file; returns the path.
+
+    Default container is INRA (per-leaf best-of entropy coding, above) —
+    measured 5-7% smaller than npz on fp16/modulated payloads, never
+    larger.  A path ending in ``.npz`` selects the legacy npz container
+    instead (still produced and read bit-compatibly with older builds).
+    """
+    if path.endswith(".npz"):
+        np.savez_compressed(path, **_flatten_payload(payload))
+        return path
+    if not path.endswith(".inra"):
+        path = path + ".inra"
+    _write_inra(path, payload)
     return path
 
 
 def load_inr(path: str) -> dict[str, Any]:
-    """Read a payload written by ``save_inr``.
+    """Read a payload written by ``save_inr`` (INRA or legacy npz —
+    detected by magic bytes, not extension).
 
     The parameter treedef is reconstructed from the stored model config
     (same rebuild-then-pour recipe as train/checkpoint.py).
     """
+    with open(path, "rb") as fh:
+        is_inra = fh.read(len(_INRA_MAGIC)) == _INRA_MAGIC
+    if is_inra:
+        meta, scales, leaves = _read_inra(path)
+        return _payload_from_parts(meta, scales, leaves, typed=True)
     with np.load(path, allow_pickle=False) as f:
         meta = json.loads(bytes(f["__meta__"]).decode("utf-8"))
         scales = f["scales"]
         leaves = [f[f"leaf_{i:05d}"] for i in range(int(f["__nleaves__"]))]
+    return _payload_from_parts(meta, scales, leaves, typed=False)
+
+
+def _payload_from_parts(meta, scales, leaves, typed: bool):
     model_cfg = _model_cfg_from_meta(meta)
     if meta.get("codec") == "modulated":
         # template = {mods (maybe int8-dict), shared} — leaf count/structure
@@ -802,13 +995,18 @@ def load_inr(path: str) -> dict[str, Any]:
         template = jax.vmap(model.init)(
             jax.random.split(jax.random.PRNGKey(0), meta["num_chunks"]))
         if meta.get("quantize"):
-            template = quantize_inr_params(template, meta["quantize"])
+            template = quantize_inr_params(
+                template, meta["quantize"],
+                side=bool(meta.get("side_quantized", False)))
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     if len(t_leaves) != len(leaves):
         raise ValueError("leaf count mismatch — corrupted payload")
-    leaves = [l.view(np.dtype(jnp.bfloat16))
-              if np.asarray(tl).dtype == jnp.bfloat16 else l
-              for tl, l in zip(t_leaves, leaves)]
+    if not typed:
+        # npz stores bfloat16 as raw uint16 bits; view back template-typed
+        # (INRA records dtypes explicitly, leaves arrive already typed)
+        leaves = [l.view(np.dtype(jnp.bfloat16))
+                  if np.asarray(tl).dtype == jnp.bfloat16 else l
+                  for tl, l in zip(t_leaves, leaves)]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     return {"meta": meta, "scales": scales, "params": params}
 

@@ -608,3 +608,98 @@ def test_modulated_config_validation():
     with pytest.raises(ValueError, match="init_shared"):
         modulated_fit(cfg, t, co, TrainConfig(total_steps=2),
                       frozen_shared=base.shared, init_shared=base.shared)
+
+
+# ---- INRA container + side-leaf quantization (r3) ----------------------
+
+def test_inra_container_bitexact_and_no_larger(tmp_path):
+    """INRA (per-leaf best-of entropy coding) round-trips every leaf
+    bit-exactly and never beats npz at its own game by being larger."""
+    sig = _sig(0.4)
+    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8"})
+    payload = encode(sig, FS, cfg)
+    p_npz = save_inr(str(tmp_path / "x.npz"), payload)
+    p_inra = save_inr(str(tmp_path / "x"), payload)
+    assert p_inra.endswith(".inra")
+    import jax
+    a = jax.tree_util.tree_flatten(load_inr(p_npz)["params"])[0]
+    b = jax.tree_util.tree_flatten(load_inr(p_inra)["params"])[0]
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        assert np.asarray(la).dtype == np.asarray(lb).dtype
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert os.path.getsize(p_inra) <= os.path.getsize(p_npz)
+
+
+def test_inra_detects_container_by_magic_not_extension(tmp_path):
+    sig = _sig(0.2)
+    payload = encode(sig, FS, SMALL)
+    # an .npz written under a neutral name still loads (magic sniffing)
+    p = save_inr(str(tmp_path / "odd.npz"), payload)
+    os.rename(p, str(tmp_path / "renamed.bin"))
+    _, rec = decode(load_inr(str(tmp_path / "renamed.bin")))
+    _, rec0 = decode(payload)
+    np.testing.assert_array_equal(rec, rec0)
+
+
+def test_sideless_legacy_payload_loads(tmp_path):
+    """Payloads written with side_quantize=False (the pre-r3 layout,
+    meta side_quantized False/absent) keep loading and decoding."""
+    sig = _sig(0.3)
+    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8",
+                         "side_quantize": False})
+    payload = encode(sig, FS, cfg)
+    assert payload["meta"]["side_quantized"] is False
+    # simulate a pre-r3 header with the key absent entirely
+    del payload["meta"]["side_quantized"]
+    for name in ("l.npz", "l"):
+        path = save_inr(str(tmp_path / name), payload)
+        _, rec = decode(load_inr(path))
+        _, rec0 = decode(payload)
+        np.testing.assert_array_equal(rec, rec0)
+
+
+def test_side_quantization_structure_and_cost():
+    """Layer 0 stays float32 end to end; layers-1+ sides take the
+    conservative tier; dequantized sides stay close to the originals."""
+    from inraudio_tpu.codec import dequantize_inr_params, quantize_inr_params
+    from inraudio_tpu.models import SirenSnakeTanhConfig, build_model
+    import jax
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        hidden_features=16, num_sine=1, num_snake=1, first_omega_0=100.0))
+    params = jax.vmap(model.init)(jax.random.split(jax.random.PRNGKey(0), 3))
+    for mode in ("float16", "int8", "int4"):
+        q = quantize_inr_params(params, mode)
+        l0 = q["layers"][0]
+        assert np.asarray(l0["w"]).dtype == np.float32
+        assert np.asarray(l0["b"]).dtype == np.float32
+        for layer in q["layers"][1:]:
+            assert np.asarray(layer["b"]).dtype == np.float16
+        dq = dequantize_inr_params(q)
+        for li in range(1, len(params["layers"])):
+            orig = np.asarray(params["layers"][li]["b"])
+            got = np.asarray(dq["layers"][li]["b"])
+            peak = np.max(np.abs(orig))
+            assert np.max(np.abs(orig - got)) <= peak / 64, (mode, li)
+
+
+def test_side_quantization_snr_parity():
+    """side_quantize=True (fp16 sides) costs (sub-)tenth-dB SNR at every
+    measured operating point (15/19/28/44 dB) while cutting the
+    payload."""
+    sig = _sig(0.4)
+    base = CodecConfig(**{**SMALL.__dict__, "quantize": "int8",
+                          "total_steps": 300})
+    p_on = encode(sig, FS, base)
+    p_off = encode(sig, FS, CodecConfig(
+        **{**base.__dict__, "side_quantize": False}))
+    _, r_on = decode(p_on)
+    _, r_off = decode(p_off)
+
+    def snr(r):
+        return 10 * np.log10(np.sum(sig[:len(r)] ** 2)
+                             / np.sum((sig[:len(r)] - r) ** 2))
+    assert snr(r_on) > snr(r_off) - 0.2, (snr(r_on), snr(r_off))
+    s_on = compression_stats(p_on)["bits_per_sample"]
+    s_off = compression_stats(p_off)["bits_per_sample"]
+    assert s_on < s_off, (s_on, s_off)
