@@ -58,6 +58,13 @@ POINTS = {
                            refit_steps=400),
     "int8_h32_refit": dict(BASE, hidden_features=32, quantize="int8",
                            refit_steps=400),
+    "int8_h36_refit": dict(BASE, hidden_features=36, quantize="int8",
+                           refit_steps=400),
+    # r3 storage layer (INRA container + fp16 side leaves) shrinks every
+    # on-disk number at equal SNR — rerun the shipped points to recalibrate
+    # the BASELINE.md table and codec._RD_POINTS after a storage change:
+    "fp16_h48": dict(BASE, quantize="float16"),
+    "int8_h48": dict(BASE, quantize="int8"),
 }
 
 

@@ -11,3 +11,7 @@ timeout 2400 python scripts/bench_modulated.py tiny mid wide mid01 wide01 wide02
 timeout 1800 python scripts/bench_modulated.py mid_film wide01_film 2>&1 | tail -10
 # 3. decode spot check at the production shape (quality-gated tiers)
 timeout 900 python scripts/bench_decode.py tune256 2>&1 | tail -10
+# 4. RD-table recalibration after the INRA container + fp16 side leaves
+#    (r3 storage layer): on-disk bps shrinks at equal SNR on every point
+timeout 3600 python scripts/bench_codec_rd.py int8_h32_refit int8_h36_refit \
+    int8_h40_refit int8_h48 fp16_h48 2>&1 | tail -10
