@@ -93,7 +93,7 @@ def main(argv=None) -> int:
                           "(reference models.py:14-59)")
 
     enc = sub.add_parser(
-        "encode", help="compress a wav into an .inr.npz (multi-INR codec)")
+        "encode", help="compress a wav into an INRA payload (multi-INR codec; .npz output paths select the legacy container)")
     enc.add_argument("--input", required=True)
     enc.add_argument("--output", required=True)
     enc.add_argument("--chunk-s", type=float, default=0.25)
@@ -148,7 +148,7 @@ def main(argv=None) -> int:
                           "per content-second sets the quality ceiling; "
                           "the chunk grid stays global)")
 
-    dec = sub.add_parser("decode", help="decode an .inr.npz back to wav")
+    dec = sub.add_parser("decode", help="decode an INRA/npz payload back to wav")
     dec.add_argument("--input", required=True)
     dec.add_argument("--output", required=True)
     dec.add_argument("--fused", action="store_true")
