@@ -103,7 +103,8 @@ def main(argv=None) -> int:
     enc.add_argument("--learning-rate", type=float, default=7e-4)
     enc.add_argument("--total-steps", type=int, default=3000)
     enc.add_argument("--quantize", default="float16",
-                     choices=["none", "float16", "bfloat16", "int8", "int4"])
+                     choices=["none", "float16", "bfloat16", "int8", "int16",
+                              "int4"])
     enc.add_argument("--per-row-scales", action="store_true",
                      help="int modes: one quantization scale per (chunk, "
                           "output unit) — tighter grid, the int4 "
@@ -134,7 +135,7 @@ def main(argv=None) -> int:
                      help="shared-backbone codec mode: ONE network for the "
                           "whole clip + a tiny per-chunk modulation vector "
                           "(COIN++-class; --quantize applies to the "
-                          "modulations: none/float16/int8)")
+                          "modulations: none/float16/int8/int16)")
     enc.add_argument("--film-scale", action="store_true",
                      help="with --modulated: per-unit gains as well as "
                           "shifts (2x modulation bytes, full FiLM)")
@@ -206,10 +207,10 @@ def main(argv=None) -> int:
                     ap.error(f"{flag} does not apply to --modulated")
             if args.quantize in ("bfloat16", "int4"):
                 ap.error("--modulated quantizes the modulations: use "
-                         "none, float16 or int8")
+                         "none, float16, int8 or int16")
             if args.refit_steps > 0 and args.quantize == "none":
                 ap.error("--refit-steps with --modulated needs quantized "
-                         "modulations (--quantize float16/int8)")
+                         "modulations (--quantize float16/int8/int16)")
         elif args.film_scale:
             ap.error("--film-scale requires --modulated")
         elif args.segment_s is not None:

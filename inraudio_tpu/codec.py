@@ -60,7 +60,7 @@ class CodecConfig:
     learning_rate: float = 7e-4   # matches the 0.25 s recipe scans
     grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
-    quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int4
+    quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int16 | int4
     # int modes: one scale per (chunk, output unit) instead of per chunk —
     # k*h extra float32 scales for a much tighter grid (int4 needs this to
     # stay audible; see BASELINE.md rate-distortion table)
@@ -140,7 +140,7 @@ def config_for_bitrate(target_bits_per_sample: float,
 # 44 dB point (tests/test_codec.py::test_side_quantization_snr_parity's
 # config).  fp16 halves the ~20% float32 side share of an h=32 payload.
 _SIDE_MODE = {"float16": "float16", "bfloat16": "bfloat16",
-              "int8": "float16", "int4": "float16"}
+              "int8": "float16", "int16": "float16", "int4": "float16"}
 
 
 def quantize_inr_params(params: Any, mode: str,
@@ -467,7 +467,12 @@ class ModulatedCodecConfig:
     learning_rate: float = 1e-3
     grad_clip_norm: float = 1.0
     total_steps: int = 3000
-    quantize_mods: str | None = "int8"   # None | float16 | int8
+    # None | float16 | int8 | int16.  int8/int16 use per-COLUMN scales
+    # (each mod feature has coherent statistics across chunks: +3 dB over
+    # per-chunk rows, scripts/probe_mod_quant.py).  int16 is the hi-fi
+    # tier: fp16's 2 bytes spent as 16 uniform bits beats fp16's 10-bit
+    # mantissa on modulations by ~30 dB at equal size (same probe).
+    quantize_mods: str | None = "int8"
     shared_fp16: bool = True  # backbone in fp16 except the omega0-amplified
     #                           first layer (same sensitivity rule as
     #                           quantize_inr_params)
@@ -545,14 +550,14 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
     from .train.modulated import modulated_fit
 
     cfg = cfg or ModulatedCodecConfig()
-    if cfg.quantize_mods not in (None, "float16", "int8"):
+    if cfg.quantize_mods not in (None, "float16", "int8", "int16"):
         raise ValueError(f"quantize_mods {cfg.quantize_mods!r}: use "
-                         "None | float16 | int8")
+                         "None | float16 | int8 | int16")
     if cfg.segment_s is not None and cfg.segment_s <= 0:
         raise ValueError(f"segment_s must be positive, got {cfg.segment_s}")
     if cfg.refit_backbone_steps > 0 and cfg.quantize_mods is None:
         raise ValueError("refit_backbone_steps needs quantized modulations "
-                         "(quantize_mods float16/int8) — with float mods "
+                         "(quantize_mods float16/int8/int16) — with float mods "
                          "there is no quantization error to absorb")
     chans = _split_channels(signal)
     mcfg = MultiINRConfig(chunk_seconds=cfg.chunk_seconds,
@@ -607,9 +612,13 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
                 mods[j * k + a: j * k + b] = mg[j * (b - a): (j + 1) * (b - a)]
             backbones.append(rg.shared)
         backbones_f32 = backbones
-    if cfg.quantize_mods == "int8":
-        stored_mods = quantize_params(jnp.asarray(mods), "int8",
-                                      per_leading_axis=True)
+    if cfg.quantize_mods in ("int8", "int16"):
+        # per-COLUMN scales: each mod feature's statistics are coherent
+        # across chunks (scripts/probe_mod_quant.py: +3 dB over per-chunk
+        # row scales at int8; decode is shape-driven so older per-row
+        # payloads keep working)
+        stored_mods = quantize_params(jnp.asarray(mods), cfg.quantize_mods,
+                                      per_last_axis=True)
         stored_mods = jax.tree.map(np.asarray, stored_mods)
         deq_mods = np.asarray(dequantize_params(
             jax.tree.map(jnp.asarray, stored_mods)))
@@ -985,8 +994,10 @@ def _payload_from_parts(meta, scales, leaves, typed: bool):
         ck = meta["num_chunks"] * int(meta.get("num_channels", 1))
         t = modulated_init(jax.random.PRNGKey(0), model_cfg, ck,
                            film_scale=bool(meta.get("film_scale", False)))
-        mods_t = (quantize_params(t["mods"], "int8", per_leading_axis=True)
-                  if meta.get("quantize") == "int8" else t["mods"])
+        mods_t = (quantize_params(t["mods"], meta["quantize"],
+                                  per_last_axis=True)
+                  if meta.get("quantize") in ("int8", "int16")
+                  else t["mods"])
         template = {"mods": mods_t,
                     "shared": _store_shared(t["shared"],
                                             meta.get("shared_fp16", False))}

@@ -30,8 +30,15 @@ Params = Any
 
 
 def _peak_scale(l, per_leading_axis: bool, levels: float,
-                per_row: bool = False):
-    if per_row and l.ndim >= 3:
+                per_row: bool = False, per_last_axis: bool = False):
+    if per_last_axis and l.ndim >= 2:
+        # one scale per trailing-axis column: the grain for MODULATION
+        # matrices (chunks, mod_dim), where each mod FEATURE has coherent
+        # statistics across chunks (probe: +3 dB over per-chunk rows on
+        # the same int8 fit, scripts/probe_mod_quant.py)
+        axes = tuple(range(l.ndim - 1))
+        peak = jnp.max(jnp.abs(l), axis=axes, keepdims=True)
+    elif per_row and l.ndim >= 3:
         # one scale per (leading slice, output unit): reduce the middle
         # (input) axes only — the weight column feeding one unit is the
         # natural coherence group of an MLP, and its peak is far tighter
@@ -48,12 +55,17 @@ def _peak_scale(l, per_leading_axis: bool, levels: float,
 
 def quantize_params(params: Params, mode: str = "float16",
                     per_leading_axis: bool = False,
-                    per_row: bool = False) -> Params:
-    """Quantize every leaf. mode in {'float16','bfloat16','int8','int4'}.
+                    per_row: bool = False,
+                    per_last_axis: bool = False) -> Params:
+    """Quantize every leaf. mode in {'float16','bfloat16','int8','int16',
+    'int4'}.
 
-    int8 leaves become dicts ``{'q': int8 array, 'scale': float32}``
+    int8/int16 leaves become dicts ``{'q': int array, 'scale': float32}``
     (symmetric, zero-point-free — INR weights are zero-centred by SIREN
     init, models.py:105-112, so an asymmetric zero point buys nothing).
+    int16 spends fp16's 2 bytes/value as 16 UNIFORM bits instead of a
+    10-bit mantissa — on modulation matrices it reconstructs well above
+    the fp16 tier at identical size (scripts/probe_mod_quant.py).
     int4 leaves become ``{'q4': packed uint8 nibbles, 'scale', 'shape'}``
     (15 symmetric levels, two params per byte).
 
@@ -66,18 +78,23 @@ def quantize_params(params: Params, mode: str = "float16",
     ``per_row=True`` (int modes, rank >= 3 leaves) refines that to one
     scale per (chunk, output unit) — k*h extra float32 scales against a
     much tighter quantization grid; the deep-compression (int4) points
-    need it to stay audible.  Dequantize is shape-driven, so payloads mix
-    granularities freely.
+    need it to stay audible.  ``per_last_axis=True`` instead gives each
+    trailing-axis column its own scale (the modulation-matrix grain).
+    Dequantize is shape-driven, so payloads mix granularities freely.
     """
     if mode in ("float16", "bfloat16"):
         dt = jnp.float16 if mode == "float16" else jnp.bfloat16
         return jax.tree.map(lambda l: jnp.asarray(l, dt), params)
-    if mode == "int8":
+    if mode in ("int8", "int16"):
+        levels = 127.0 if mode == "int8" else 32767.0
+        dt = jnp.int8 if mode == "int8" else jnp.int16
+
         def q(l):
             l = jnp.asarray(l, jnp.float32)
-            scale = _peak_scale(l, per_leading_axis, 127.0, per_row)
-            return {"q": jnp.clip(jnp.round(l / scale), -127, 127)
-                    .astype(jnp.int8),
+            scale = _peak_scale(l, per_leading_axis, levels, per_row,
+                                per_last_axis)
+            return {"q": jnp.clip(jnp.round(l / scale), -levels, levels)
+                    .astype(dt),
                     "scale": jnp.asarray(scale, jnp.float32)}
         return jax.tree.map(q, params)
     if mode == "int4":

@@ -115,6 +115,17 @@ POINTS = {
     "seg1_h128": dict(chunk_seconds=0.05, hidden_features=128,
                       first_omega_0=500.0, learning_rate=1e-3,
                       mods_lr_mult=5.0, segment_s=1.0),
+    # int16 mods: fp16's bytes as 16 uniform bits — probe_mod_quant.py
+    # measured +20 dB over fp16 at identical size on a 110 dB fit; these
+    # recalibrate the hi-fi segmented points at the new tier
+    "seg1_h96_i16": dict(chunk_seconds=0.05, hidden_features=96,
+                         first_omega_0=500.0, learning_rate=1e-3,
+                         mods_lr_mult=5.0, segment_s=1.0,
+                         quantize_mods="int16"),
+    "seg1_h128_i16": dict(chunk_seconds=0.05, hidden_features=128,
+                          first_omega_0=500.0, learning_rate=1e-3,
+                          mods_lr_mult=5.0, segment_s=1.0,
+                          quantize_mods="int16"),
 }
 
 
@@ -122,8 +133,10 @@ def main(names: list[str]) -> None:
     fs, sig = read_wav(WAV, channel=0)
     sig = sig.astype(np.float32)
     for name in names:
-        knobs = POINTS[name]
-        cfg = ModulatedCodecConfig(total_steps=STEPS, quantize_mods="int8",
+        knobs = dict(POINTS[name])
+        quant = knobs.pop("quantize_mods",
+                          os.environ.get("MOD_QUANT", "int8"))
+        cfg = ModulatedCodecConfig(total_steps=STEPS, quantize_mods=quant,
                                    **knobs)
         t0 = time.time()
         payload = encode_modulated(sig, fs, cfg)

@@ -22,6 +22,20 @@ Storage deltas: `col*` schemes add <= 2*mod_dim float32 side values
 (mean+scale, fp16-able) vs `row`'s k float32 scales — both negligible
 next to the int8 matrix itself at realistic chunk counts.
 
+Measured (3000 steps, 110.3 dB float fit, 23 chunks x mod_dim 480):
+
+    fp16 76.3 | row 47.3 | tensor 44.5 | col 50.4 | colmean 49.7
+    row16 94.4 | col16 96.5 | colrow16 97.1
+
+Conclusions (wired into codec.py): per-COLUMN scales beat the original
+per-chunk rows by +3 dB at int8 (mean folding does NOT help — the
+offsets don't dominate the column peaks); resolution, not granularity,
+binds int8 (~26 dB under fp16 at every grain); and **int16-per-col beats
+fp16 by +20 dB at identical 2 bytes/value** (16 uniform bits vs fp16's
+10-bit mantissa — fp16 wastes bits on exponent range modulations never
+use).  int16 ships as the hi-fi `quantize_mods` tier, int8 stays the
+low-rate tier, both per-column.
+
 Run: JAX_PLATFORMS=cpu python scripts/probe_mod_quant.py [steps]
 """
 

@@ -9,6 +9,8 @@ timeout 1200 python bench.py 2>bench_r3_check.log; tail -5 bench_r3_check.log
 # 2. modulated-codec calibration sweep (rate-distortion rows for BASELINE)
 timeout 2400 python scripts/bench_modulated.py tiny mid wide mid01 wide01 wide025 2>&1 | tail -20
 timeout 1800 python scripts/bench_modulated.py mid_film wide01_film 2>&1 | tail -10
+# int16 mod tier (probe_mod_quant.py: +20 dB over fp16 at equal bytes)
+timeout 1800 python scripts/bench_modulated.py seg1_h96_i16 seg1_h128_i16 2>&1 | tail -10
 # 3. decode spot check at the production shape (quality-gated tiers)
 timeout 900 python scripts/bench_decode.py tune256 2>&1 | tail -10
 # 4. RD-table recalibration after the INRA container + fp16 side leaves

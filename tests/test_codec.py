@@ -379,6 +379,9 @@ def test_modulated_encode_decode(tmp_path):
     cfg8 = ModulatedCodecConfig(**{**cfg.__dict__, "quantize_mods": "int8",
                                    "shared_fp16": True})
     p8 = encode_modulated(sig, FS, cfg8)
+    # per-COLUMN mod scales (probe_mod_quant.py): one scale per feature
+    assert p8["params"]["mods"]["scale"].shape == (
+        1, p8["meta"]["mod_dim"])
     path = save_inr(str(tmp_path / "m.inr"), p8)
     loaded = load_inr(path)
     _, rec8a = decode(loaded)
@@ -386,6 +389,18 @@ def test_modulated_encode_decode(tmp_path):
     np.testing.assert_allclose(rec8a, rec8b, atol=1e-6)
     snr8 = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec8a) ** 2))
     assert snr8 > 15, snr8
+
+    # int16: fp16's bytes as 16 uniform bits — the hi-fi mod tier.  Same
+    # fit, so it must sit at or above int8 and survive the container.
+    cfg16 = ModulatedCodecConfig(**{**cfg.__dict__,
+                                    "quantize_mods": "int16",
+                                    "shared_fp16": True})
+    p16 = encode_modulated(sig, FS, cfg16)
+    assert p16["params"]["mods"]["q"].dtype == np.int16
+    loaded16 = load_inr(save_inr(str(tmp_path / "m16.inr"), p16))
+    _, rec16 = decode(loaded16)
+    snr16 = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec16) ** 2))
+    assert snr16 >= snr8 - 0.1, (snr16, snr8)
 
 
 def test_empty_signal_rejected():

@@ -323,6 +323,35 @@ class TestQuantization:
                                        atol=float(np.max(np.abs(a)) / 100))
 
 
+def test_int16_per_last_axis():
+    """int16 with per-COLUMN scales — the modulation-matrix grain.  Error
+    is bounded by scale/2 per element, and on a matrix whose magnitudes
+    sit away from powers of two, 16 uniform bits beat fp16's 10-bit
+    mantissa at identical storage (the modulated codec's hi-fi mod tier,
+    scripts/probe_mod_quant.py)."""
+    from inraudio_tpu.models import dequantize_params, quantize_params
+    k, d = 37, 24
+    key = jax.random.PRNGKey(7)
+    # column-coherent stats: per-column offsets + small spread (what
+    # trained modulations look like across chunks)
+    offs = jax.random.normal(jax.random.PRNGKey(8), (1, d)) * 3.0
+    x = offs + 0.3 * jax.random.normal(key, (k, d), jnp.float32)
+    q = quantize_params({"m": x}, "int16", per_last_axis=True)
+    leaf = q["m"]
+    assert set(leaf) == {"q", "scale"} and leaf["q"].dtype == jnp.int16
+    assert leaf["scale"].shape == (1, d)
+    deq = np.asarray(dequantize_params(q)["m"])
+    xs = np.asarray(x)
+    scale = np.asarray(leaf["scale"])
+    # scale/2 rounding bound, plus the f32 ulp of l/scale at |q|~32767
+    # (measured worst case 1.0012x the half-step)
+    assert np.all(np.abs(deq - xs) <= scale / 2 * 1.005 + 1e-12)
+    err16 = float(np.mean((deq - xs) ** 2))
+    err_fp16 = float(np.mean((xs.astype(np.float16).astype(np.float32)
+                              - xs) ** 2))
+    assert err16 < err_fp16, (err16, err_fp16)
+
+
 def test_int4_pack_roundtrip():
     """int4: two nibbles per byte, error bounded by scale/2, odd counts."""
     from inraudio_tpu.models import dequantize_params, quantize_params
