@@ -65,6 +65,14 @@ POINTS = {
     # the BASELINE.md table and codec._RD_POINTS after a storage change:
     "fp16_h48": dict(BASE, quantize="float16"),
     "int8_h48": dict(BASE, quantize="int8"),
+    # int16 = fp16's bytes as 16 uniform bits (probe_weight_quant.py:
+    # +2.8 dB over fp16 at equal size on a 115.6 dB fit) — recalibrate
+    # the fp16 hi-fi points at the new tier:
+    "int16_h48": dict(BASE, quantize="int16"),
+    "int16_h128_025": dict(BASE, chunk_seconds=0.25, hidden_features=128,
+                           quantize="int16"),
+    "fp16_h128_025": dict(BASE, chunk_seconds=0.25, hidden_features=128,
+                          quantize="float16"),
 }
 
 

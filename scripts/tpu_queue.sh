@@ -17,3 +17,6 @@ timeout 900 python scripts/bench_decode.py tune256 2>&1 | tail -10
 #    (r3 storage layer): on-disk bps shrinks at equal SNR on every point
 timeout 3600 python scripts/bench_codec_rd.py int8_h32_refit int8_h36_refit \
     int8_h40_refit int8_h48 fp16_h48 2>&1 | tail -10
+# 5. int16 weight tier vs fp16 at the hi-fi points (probe_weight_quant.py)
+timeout 2400 python scripts/bench_codec_rd.py int16_h48 int16_h128_025 \
+    fp16_h128_025 2>&1 | tail -6
