@@ -8,6 +8,18 @@ exact recipe at both tiers through the PRODUCT surface
 (``encode_modulated`` -> ``decode``), so the tier win is measured where
 users get it, segmentation and container included.
 
+Measured (2000 steps, 3 s @ 11.025 kHz, 3x h=96 segments):
+
+    float16  62.96 dB @ 60.42 bps disk  |  int16  63.11 dB @ 62.87 bps
+
+i.e. a TIE — at this step budget the FIT itself (~63 dB float) sits
+below fp16's ~76 dB mod cap, so the tier doesn't bind; int16 also
+entropy-codes ~4% worse (uniform grid -> higher-entropy low bytes).
+The tier rule that falls out: fp16 mods until the fit clears ~76 dB,
+int16 beyond it (hi-fi TPU operating points, where the extra steps are
+seconds) — int16 is what REMOVES the mod cap, not a free upgrade at
+step-limited budgets.
+
 Run: python scripts/probe_seg_int16.py [steps] [tier ...]
 """
 
