@@ -104,7 +104,7 @@ def main(argv=None) -> int:
     enc.add_argument("--total-steps", type=int, default=3000)
     enc.add_argument("--quantize", default="float16",
                      choices=["none", "float16", "bfloat16", "int8", "int16",
-                              "int4"])
+                              "int4", "auto"])
     enc.add_argument("--per-row-scales", action="store_true",
                      help="int modes: one quantization scale per (chunk, "
                           "output unit) — tighter grid, the int4 "
@@ -135,7 +135,7 @@ def main(argv=None) -> int:
                      help="shared-backbone codec mode: ONE network for the "
                           "whole clip + a tiny per-chunk modulation vector "
                           "(COIN++-class; --quantize applies to the "
-                          "modulations: none/float16/int8/int16)")
+                          "modulations: none/float16/int8/int16/auto)")
     enc.add_argument("--film-scale", action="store_true",
                      help="with --modulated: per-unit gains as well as "
                           "shifts (2x modulation bytes, full FiLM)")
@@ -207,7 +207,7 @@ def main(argv=None) -> int:
                     ap.error(f"{flag} does not apply to --modulated")
             if args.quantize in ("bfloat16", "int4"):
                 ap.error("--modulated quantizes the modulations: use "
-                         "none, float16, int8 or int16")
+                         "none, float16, int8, int16 or auto")
             if args.refit_steps > 0 and args.quantize == "none":
                 ap.error("--refit-steps with --modulated needs quantized "
                          "modulations (--quantize float16/int8/int16)")
@@ -217,6 +217,9 @@ def main(argv=None) -> int:
             ap.error("--segment-s requires --modulated")
         elif args.mods_lr_mult != 1.0:
             ap.error("--mods-lr-mult requires --modulated")
+        elif args.quantize == "auto":
+            ap.error("--quantize auto requires --modulated (the fp16/int16 "
+                     "switch is a modulation-tier rule)")
         import numpy as np
         from .codec import CodecConfig, compression_stats, encode, save_inr
         from .data.audio_io import read_wav

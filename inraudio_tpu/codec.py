@@ -467,11 +467,14 @@ class ModulatedCodecConfig:
     learning_rate: float = 1e-3
     grad_clip_norm: float = 1.0
     total_steps: int = 3000
-    # None | float16 | int8 | int16.  int8/int16 use per-COLUMN scales
-    # (each mod feature has coherent statistics across chunks: +3 dB over
-    # per-chunk rows, scripts/probe_mod_quant.py).  int16 is the hi-fi
-    # tier: fp16's 2 bytes spent as 16 uniform bits beats fp16's 10-bit
-    # mantissa on modulations by ~30 dB at equal size (same probe).
+    # None | float16 | int8 | int16 | auto.  int8/int16 use per-COLUMN
+    # scales (each mod feature has coherent statistics across chunks:
+    # +3 dB over per-chunk rows, scripts/probe_mod_quant.py).  int16 is
+    # the hi-fi tier: fp16's 2 bytes spent as 16 uniform bits removes
+    # fp16's ~76 dB mod cap (+20 dB at equal size on a 110 dB fit, same
+    # probe).  'auto' applies the measured rule at encode time: fp16
+    # while the fit's own SNR is below ~70 dB (fp16 then costs nothing
+    # and entropy-codes ~4% smaller), int16 above it.
     quantize_mods: str | None = "int8"
     shared_fp16: bool = True  # backbone in fp16 except the omega0-amplified
     #                           first layer (same sensitivity rule as
@@ -539,6 +542,26 @@ def _load_shared_host(shared: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x, np.float32), shared)
 
 
+# auto mod-tier switch point: fp16 mods cap reconstruction at ~76 dB
+# (scripts/probe_mod_quant.py); below that fp16 is free AND entropy-codes
+# ~4% smaller than int16's uniform grid (probe_seg_int16.py), above it
+# int16 removes the cap at identical in-memory bytes.  70 dB hands over
+# slightly before the cap starts shaving the fit.
+_MOD_AUTO_INT16_DB = 70.0
+
+
+def _auto_mod_tier(fit_mses: list[float], fit_powers: list[float],
+                   fit_weights: list[int]) -> str:
+    """Pick fp16 vs int16 mods from the fit's own quality (no decode):
+    fit SNR ~= 10*log10(target power / best MSE), chunk-count-weighted
+    across segments."""
+    w = np.asarray(fit_weights, np.float64)
+    mse = float(np.sum(np.asarray(fit_mses) * w) / np.sum(w))
+    power = float(np.sum(np.asarray(fit_powers) * w) / np.sum(w))
+    fit_snr = 10.0 * np.log10(power / max(mse, 1e-30))
+    return "int16" if fit_snr > _MOD_AUTO_INT16_DB else "float16"
+
+
 def encode_modulated(signal: np.ndarray, sample_rate: int,
                      cfg: ModulatedCodecConfig | None = None
                      ) -> dict[str, Any]:
@@ -550,9 +573,9 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
     from .train.modulated import modulated_fit
 
     cfg = cfg or ModulatedCodecConfig()
-    if cfg.quantize_mods not in (None, "float16", "int8", "int16"):
+    if cfg.quantize_mods not in (None, "float16", "int8", "int16", "auto"):
         raise ValueError(f"quantize_mods {cfg.quantize_mods!r}: use "
-                         "None | float16 | int8 | int16")
+                         "None | float16 | int8 | int16 | auto")
     if cfg.segment_s is not None and cfg.segment_s <= 0:
         raise ValueError(f"segment_s must be positive, got {cfg.segment_s}")
     if cfg.refit_backbone_steps > 0 and cfg.quantize_mods is None:
@@ -582,6 +605,7 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
     else:
         n_seg = max(1, min(k, int(np.ceil(
             len(chans[0]) / (cfg.segment_s * sample_rate)))))
+    fit_mses, fit_powers, fit_weights = [], [], []
     if n_seg == 1:
         res = modulated_fit(model_cfg, targets, coords,
                             tc, key=jax.random.PRNGKey(cfg.seed),
@@ -590,6 +614,9 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         mods = np.asarray(res.mods)
         backbones_f32 = [res.shared]
         bounds = [0, k]
+        fit_mses.append(float(np.min(res.loss_history)))
+        fit_powers.append(float(np.mean(targets ** 2)))
+        fit_weights.append(targets.shape[0])
     else:
         # one backbone per chunk-index range (all channels' chunks of a
         # segment fit together); the chunk grid stays GLOBAL, so stitch /
@@ -611,24 +638,30 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
             for j in range(c):
                 mods[j * k + a: j * k + b] = mg[j * (b - a): (j + 1) * (b - a)]
             backbones.append(rg.shared)
+            fit_mses.append(float(np.min(rg.loss_history)))
+            fit_powers.append(float(np.mean(tg ** 2)))
+            fit_weights.append(tg.shape[0])
         backbones_f32 = backbones
-    if cfg.quantize_mods in ("int8", "int16"):
+    quant = cfg.quantize_mods
+    if quant == "auto":
+        quant = _auto_mod_tier(fit_mses, fit_powers, fit_weights)
+    if quant in ("int8", "int16"):
         # per-COLUMN scales: each mod feature's statistics are coherent
         # across chunks (scripts/probe_mod_quant.py: +3 dB over per-chunk
         # row scales at int8; decode is shape-driven so older per-row
         # payloads keep working)
-        stored_mods = quantize_params(jnp.asarray(mods), cfg.quantize_mods,
+        stored_mods = quantize_params(jnp.asarray(mods), quant,
                                       per_last_axis=True)
         stored_mods = jax.tree.map(np.asarray, stored_mods)
         deq_mods = np.asarray(dequantize_params(
             jax.tree.map(jnp.asarray, stored_mods)))
-    elif cfg.quantize_mods == "float16":
+    elif quant == "float16":
         stored_mods = mods.astype(np.float16)
         deq_mods = stored_mods.astype(np.float32)
     else:  # None (validated before the fit)
         stored_mods = mods
         deq_mods = mods
-    if cfg.quantize_mods and cfg.refit_backbone_steps > 0:
+    if quant and cfg.refit_backbone_steps > 0:
         # quantization-aware backbone refit: freeze the mods at their
         # dequantized values, fine-tune each (float) backbone to absorb
         # part of the quantization error
@@ -660,7 +693,7 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         "hop": int(hop),
         "num_chunks": int(per_ch[0][0].shape[0]),
         "num_channels": len(chans),
-        "quantize": cfg.quantize_mods,
+        "quantize": quant,
         "shared_fp16": bool(cfg.shared_fp16),
         "mod_dim": int(mod_dim(model_cfg, cfg.film_scale)),
         "film_scale": bool(cfg.film_scale),

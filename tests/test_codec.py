@@ -625,6 +625,37 @@ def test_modulated_config_validation():
                       frozen_shared=base.shared, init_shared=base.shared)
 
 
+def test_auto_mod_tier_rule():
+    """'auto' = the measured switch: fp16 mods below the ~70 dB fit-SNR
+    handover (fp16's cap is ~76 dB and it entropy-codes smaller), int16
+    above it.  Aggregation is chunk-count-weighted across segments."""
+    from inraudio_tpu.codec import _auto_mod_tier
+    # fit SNR = 10*log10(0.1 / 1e-4) = 30 dB -> float16
+    assert _auto_mod_tier([1e-4], [0.1], [10]) == "float16"
+    # 10*log10(0.1 / 1e-9) = 80 dB -> int16
+    assert _auto_mod_tier([1e-9], [0.1], [10]) == "int16"
+    # weighting is MSE-additive: one bad segment caps the aggregate no
+    # matter how small it is (overall SNR is what the cap acts on)...
+    assert _auto_mod_tier([1e-4, 1e-9], [0.1, 0.1], [100, 1]) == "float16"
+    assert _auto_mod_tier([1e-4, 1e-9], [0.1, 0.1], [1, 1000]) == "float16"
+    # ...and a mildly-worse small segment cannot drag a hi-fi clip down
+    assert _auto_mod_tier([1e-6, 1e-9], [0.1, 0.1], [1, 1000]) == "int16"
+
+
+def test_modulated_auto_tier_e2e():
+    """A short (fit-limited, well under 70 dB) auto encode resolves to
+    fp16 mods and records the RESOLVED tier in the payload header."""
+    from inraudio_tpu.codec import ModulatedCodecConfig, encode_modulated
+    sig = _sig(0.2)
+    p = encode_modulated(sig, FS, ModulatedCodecConfig(
+        chunk_seconds=0.1, hidden_features=16, first_omega_0=100.0,
+        total_steps=60, quantize_mods="auto"))
+    assert p["meta"]["quantize"] == "float16"
+    assert p["params"]["mods"].dtype == np.float16
+    _, rec = decode(p)
+    assert len(rec) == len(sig)
+
+
 # ---- INRA container + side-leaf quantization (r3) ----------------------
 
 def test_inra_container_bitexact_and_no_larger(tmp_path):
