@@ -31,7 +31,8 @@ def test_encode_decode_roundtrip_snr():
     assert snr > 25, snr
 
 
-@pytest.mark.parametrize("mode", ["float16", "bfloat16", "int8", "int4"])
+@pytest.mark.parametrize("mode", ["float16", "bfloat16", "int8", "int16",
+                                  "int4"])
 def test_quantized_file_roundtrip(tmp_path, mode):
     sig = _sig(0.3)
     cfg = CodecConfig(**{**SMALL.__dict__, "quantize": mode})
