@@ -20,3 +20,5 @@ timeout 3600 python scripts/bench_codec_rd.py int8_h32_refit int8_h36_refit \
 # 5. int16 weight tier vs fp16 at the hi-fi points (probe_weight_quant.py)
 timeout 2400 python scripts/bench_codec_rd.py int16_h48 int16_h128_025 \
     fp16_h128_025 2>&1 | tail -6
+# 6. adaptive-STMDCT pre-echo A/B on a click train (VERDICT r2 item 5)
+timeout 1200 python scripts/bench_adaptive_preecho.py 4000 2>&1 | tail -6
