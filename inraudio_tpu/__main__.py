@@ -166,6 +166,14 @@ def main(argv=None) -> int:
     dec.add_argument("--stop", type=float, default=None,
                      help="random-access decode: range stop in seconds")
 
+    info = sub.add_parser(
+        "info", help="inspect a compressed payload without decoding: codec "
+                     "config, quantization tiers, per-leaf storage, "
+                     "bits/sample")
+    info.add_argument("--input", required=True)
+    info.add_argument("--json", action="store_true",
+                      help="emit the full machine-readable record")
+
     fm = sub.add_parser(
         "fit-multi",
         help="chunk-parallel multi-INR fit of a wav (the bench recipe): "
@@ -282,6 +290,35 @@ def main(argv=None) -> int:
         write_wav(args.output, fs, rec)
         print(json.dumps({"path": args.output, "sample_rate": fs,
                           "samples": int(len(rec))}))
+    elif args.cmd == "info":
+        from .codec import payload_info
+        rec = payload_info(args.input)
+        if args.json:
+            print(json.dumps(rec))
+        else:
+            m = rec["meta"]
+            mdl = m["model"]
+            dur = m["signal_length"] / m["sample_rate"]
+            print(f"{args.input}: {rec['container'].upper()} container, "
+                  f"{rec['file_bytes']} bytes")
+            line = (f"  codec: {m.get('codec', 'per-chunk')}  "
+                    f"quantize: {m.get('quantize') or 'float32'}  "
+                    f"model: h={mdl['hidden_features']} "
+                    f"omega0={mdl['first_omega_0']}")
+            if m.get("codec") == "modulated":
+                line += (f"  segments: {m.get('num_segments', 1)}  "
+                         f"mod_dim: {m['mod_dim']}")
+            print(line)
+            print(f"  signal: {dur:.2f}s @ {m['sample_rate']} Hz x "
+                  f"{m.get('num_channels', 1)} ch, "
+                  f"{m['num_chunks']} chunks of {m['chunk_length']} samples")
+            print(f"  rate: {rec['bits_per_sample']:.2f} bits/sample "
+                  f"({rec['ratio_vs_pcm16']:.2f}x vs 16-bit PCM)")
+            for e in rec["leaves"]:
+                shape = "x".join(str(s) for s in e["shape"])
+                print(f"  {e['name']:>10} {e['dtype']:>8} {shape:>14} "
+                      f"{e['enc']:>10} {e['stored_bytes']:>9} B "
+                      f"({e['stored_bytes'] / max(e['raw_bytes'], 1):.2f} raw)")
     elif args.cmd == "fit-multi":
         import numpy as np
         from .data.audio_io import read_wav, write_wav

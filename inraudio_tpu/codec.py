@@ -999,6 +999,15 @@ def save_inr(path: str, payload: dict[str, Any]) -> str:
     return path
 
 
+def _resolve_payload_path(path: str) -> str:
+    """Accept the path the user passed to ``encode --output`` even though
+    ``save_inr`` may have appended the ``.inra`` suffix."""
+    import os
+    if not os.path.exists(path) and os.path.exists(path + ".inra"):
+        return path + ".inra"
+    return path
+
+
 def load_inr(path: str) -> dict[str, Any]:
     """Read a payload written by ``save_inr`` (INRA or legacy npz —
     detected by magic bytes, not extension).
@@ -1006,6 +1015,7 @@ def load_inr(path: str) -> dict[str, Any]:
     The parameter treedef is reconstructed from the stored model config
     (same rebuild-then-pour recipe as train/checkpoint.py).
     """
+    path = _resolve_payload_path(path)
     with open(path, "rb") as fh:
         is_inra = fh.read(len(_INRA_MAGIC)) == _INRA_MAGIC
     if is_inra:
@@ -1053,6 +1063,65 @@ def _payload_from_parts(meta, scales, leaves, typed: bool):
                   for tl, l in zip(t_leaves, leaves)]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     return {"meta": meta, "scales": scales, "params": params}
+
+
+def payload_info(path: str) -> dict[str, Any]:
+    """Inspect a saved payload WITHOUT decoding any audio.
+
+    Returns container kind, the stored codec meta, a per-leaf storage
+    table (name, dtype, shape, coding, stored bytes) and on-disk totals
+    incl. bits/sample vs the clip it encodes.  The reference's only
+    payload observability is the parameters.json written at fit time
+    (run.py:365-398); this reads the compressed artifact itself.
+
+    INRA payloads are inspected from the header alone (no leaf decode);
+    npz per-leaf stored sizes come from the zip entries.
+    """
+    import os
+    import zipfile
+
+    path = _resolve_payload_path(path)
+    with open(path, "rb") as fh:
+        is_inra = fh.read(len(_INRA_MAGIC)) == _INRA_MAGIC
+    entries: list[dict[str, Any]] = []
+    if is_inra:
+        with open(path, "rb") as f:
+            f.read(len(_INRA_MAGIC))
+            hlen = int.from_bytes(f.read(4), "little")
+            header = json.loads(f.read(hlen).decode("utf-8"))
+        meta = header["meta"]
+        for spec in header["entries"]:
+            dt = (np.dtype(np.uint16) if spec["dtype"] == "bfloat16"
+                  else np.dtype(spec["dtype"]))
+            raw = int(np.prod(spec["shape"], dtype=np.int64)) * dt.itemsize
+            entries.append({"name": spec["name"], "dtype": spec["dtype"],
+                            "shape": list(spec["shape"]), "enc": spec["enc"],
+                            "stored_bytes": int(spec["n"]),
+                            "raw_bytes": raw})
+    else:
+        with zipfile.ZipFile(path) as zf:
+            sizes = {i.filename: i.compress_size for i in zf.infolist()}
+        with np.load(path, allow_pickle=False) as f:
+            meta = json.loads(bytes(f["__meta__"]).decode("utf-8"))
+            for name in f.files:
+                if name.startswith("__"):
+                    continue
+                a = f[name]
+                entries.append({
+                    "name": name, "dtype": a.dtype.name,
+                    "shape": list(a.shape), "enc": "zip-deflate",
+                    "stored_bytes": int(sizes.get(name + ".npy", a.nbytes)),
+                    "raw_bytes": int(a.nbytes)})
+    file_bytes = os.path.getsize(path)
+    n = int(meta["signal_length"]) * int(meta.get("num_channels", 1))
+    return {"container": "inra" if is_inra else "npz",
+            "file_bytes": int(file_bytes),
+            "bits_per_sample": 8.0 * file_bytes / n,
+            "ratio_vs_pcm16": (2 * n) / file_bytes,
+            "meta": meta,
+            "leaves": entries,
+            "stored_leaf_bytes": int(sum(e["stored_bytes"] for e in entries)),
+            "raw_leaf_bytes": int(sum(e["raw_bytes"] for e in entries))}
 
 
 def compression_stats(payload: dict[str, Any],

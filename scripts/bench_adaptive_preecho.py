@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# sitecustomize imports jax on the axon platform before env vars can take
+# effect; honor an explicit JAX_PLATFORMS request (CPU sanity runs).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -76,13 +81,15 @@ def snr_db(ref: np.ndarray, rec: np.ndarray) -> float:
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    # Pallas kernels need a real TPU; CPU sanity runs use the XLA path.
+    fused = jax.default_backend() not in ("cpu",)
     clip = make_clip()
     with tempfile.TemporaryDirectory() as d:
         wav = os.path.join(d, "clicks.wav")
         write_wav(wav, FS, clip)
         common = dict(filename=wav, duration=DUR, method="mdct", n=2048,
                       hidden=128, omega=300.0, total_steps=steps,
-                      fused=True, grad_clip_norm=1.0, plateau_patience=50,
+                      fused=fused, grad_clip_norm=1.0, plateau_patience=50,
                       learning_rate=1.5e-3, make_plots=False)
         for name, adaptive in (("fixed", False), ("adaptive", True)):
             train(d, name, adaptive=adaptive, **common)

@@ -750,3 +750,46 @@ def test_side_quantization_snr_parity():
     s_on = compression_stats(p_on)["bits_per_sample"]
     s_off = compression_stats(p_off)["bits_per_sample"]
     assert s_on < s_off, (s_on, s_off)
+
+
+def test_payload_info_both_containers(tmp_path):
+    """`info` inspects a payload without decoding: container kind, codec
+    meta, per-leaf storage table, and file-level bits/sample that match
+    compression_stats."""
+    from inraudio_tpu.codec import payload_info
+    sig = _sig(0.3)
+    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8"})
+    payload = encode(sig, FS, cfg)
+    for name in ("x", "x.npz"):
+        path = save_inr(str(tmp_path / name), payload)
+        rec = payload_info(path)
+        assert rec["container"] == ("npz" if name.endswith("npz") else "inra")
+        assert rec["meta"]["quantize"] == "int8"
+        assert rec["file_bytes"] == os.path.getsize(path)
+        stats = compression_stats(payload, path=path)
+        assert rec["bits_per_sample"] == pytest.approx(
+            stats["file_bits_per_sample"])
+        # the leaf table covers every stored array exactly once and the
+        # stored blobs account for (almost all of) the file
+        names = [e["name"] for e in rec["leaves"]]
+        assert names[0] == "scales" and len(set(names)) == len(names)
+        assert 0 < rec["stored_leaf_bytes"] <= rec["file_bytes"]
+    # the pre-suffix path the user passed to encode --output resolves too
+    rec = payload_info(str(tmp_path / "x"))
+    assert rec["container"] == "inra"
+    assert load_inr(str(tmp_path / "x"))["meta"]["quantize"] == "int8"
+
+
+def test_cli_info(tmp_path, capsys):
+    from inraudio_tpu.__main__ import main
+    from inraudio_tpu.codec import save_inr as _save
+    sig = _sig(0.2)
+    payload = encode(sig, FS, SMALL)
+    path = _save(str(tmp_path / "p"), payload)
+    assert main(["info", "--input", path, "--json"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["container"] == "inra"
+    assert rec["meta"]["model"]["hidden_features"] == 32
+    assert main(["info", "--input", path]) == 0
+    out = capsys.readouterr().out
+    assert "INRA container" in out and "bits/sample" in out
