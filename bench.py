@@ -39,6 +39,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# BENCH_PLATFORM=cpu: CPU smoke-testing of the bench wiring (the image's
+# sitecustomize presets the axon TPU platform before env vars can act;
+# backends initialise lazily so the runtime switch still works — same
+# mechanism as tests/conftest.py)
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 # persistent compile cache: XLA compiles of the vmapped scan take ~10 min on
 # a 1-core host; cached reruns start in seconds
 jax.config.update(
@@ -63,6 +70,9 @@ WAV = os.environ.get("BENCH_WAV", "/root/reference/gt_bach.wav")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "30"))
 TARGET_DB = 40.0
 MODE = os.environ.get("BENCH_MODE", "multi")
+# BENCH_INTERPRET=1 runs the Pallas kernels in the interpreter (CPU-only
+# smoke tests of the fused wiring; never set on a real bench run)
+_INTERPRET = os.environ.get("BENCH_INTERPRET", "0") == "1"
 ROUND_STEPS = int(os.environ.get("BENCH_CHUNK_STEPS", "200"))
 MAX_STEPS = int(os.environ.get("BENCH_MAX_STEPS", "200000"))
 # per-round JSONL metric stream (same MetricsLogger the runner uses) —
@@ -187,7 +197,8 @@ def bench_multi() -> float:
     # XLA path (BASELINE.md); BENCH_FUSED=0 falls back to plain XLA
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     approx = os.environ.get("BENCH_APPROX_SIN", "1") == "1" and fused
-    model = build_model("mlp", model_cfg, fused=fused, approx_sin=approx)
+    model = build_model("mlp", model_cfg, fused=fused, approx_sin=approx,
+                        interpret=_INTERPRET)
     tc = TrainConfig(
         total_steps=MAX_STEPS, scan_chunk=ROUND_STEPS,
         learning_rate=float(os.environ.get("BENCH_LR", "1.5e-3")),
@@ -417,15 +428,49 @@ def bench_full() -> float:
         num_snake=int(os.environ.get("BENCH_NUM_SNAKE", "2")))
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     model = build_model("mlp", model_cfg, fused=fused, approx_sin=fused,
-                        rff_b=rff_b)
+                        rff_b=rff_b, interpret=_INTERPRET)
 
     mesh = make_mesh()
-    coords_d, targets_d, weight_d, _ = shard_problem_arrays(
-        mesh, problem.coords, problem.targets)
-    state = jax.device_put(
-        init_train_state(model, jax.random.PRNGKey(0), cfg),
-        replicated_sharding(mesh))
-    train_step = make_train_step(model, cfg)
+
+    # whole-step fused kernel at the production shape (VERDICT r3 item 4):
+    # route through loop.fused_step_plan exactly like fit() does.
+    # INRAUDIO_FUSED_STEP=0 gives the A/B against the two-kernel path.
+    from inraudio_tpu.train.loop import fused_step_plan
+    block = (fused_step_plan(model, cfg, problem.coords.shape[0])
+             if mesh.devices.size == 1 else None)
+    if block is not None:
+        from inraudio_tpu.ops.pallas_siren_step import (
+            flat_state_from_train_state, make_fused_mse_train_step,
+            pad_step_inputs, unflatten_params)
+        ctx = model.fused_step_ctx
+        cp, tp, nv = pad_step_inputs(problem.coords, problem.targets, block)
+        coords_d, targets_d, weight_d = jnp.asarray(cp), jnp.asarray(tp), None
+        fstep = make_fused_mse_train_step(
+            ctx["cfg"], cfg, nv, block, rff_b=ctx["rff_b"],
+            approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+        train_step = lambda s, c, t, w: fstep(s, c, t)
+        log(f"fused whole-step kernel: block_rows={block}")
+
+        def mk_state(seed):
+            st = init_train_state(model, jax.random.PRNGKey(seed), cfg)
+            return flat_state_from_train_state(
+                st, ctx["cfg"], rff=ctx["rff_b"] is not None)
+
+        def best_of(st):
+            return unflatten_params(list(st.best_params), ctx["cfg"])
+    else:
+        coords_d, targets_d, weight_d, _ = shard_problem_arrays(
+            mesh, problem.coords, problem.targets)
+        train_step = make_train_step(model, cfg)
+
+        def mk_state(seed):
+            return jax.device_put(
+                init_train_state(model, jax.random.PRNGKey(seed), cfg),
+                replicated_sharding(mesh))
+
+        def best_of(st):
+            return st.best_params
+    state = mk_state(0)
 
     def run_chunk(state, coords, targets, weight):
         def body(s, _):
@@ -435,17 +480,19 @@ def bench_full() -> float:
 
     run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
 
+    # SNR over the UNPADDED problem (the fused-step path zero-pads
+    # coords/targets to the kernel tile)
+    coords_full = jnp.asarray(problem.coords)
+    targets_full = jnp.asarray(problem.targets)
     snr_now = jax.jit(lambda st, c, t: calculate_snr(
-        t, model.apply(st.best_params, c)))
+        t, model.apply(best_of(st), c)))
 
     t_setup = time.time()
     state, _ = run_chunk(state, coords_d, targets_d, weight_d)
     jax.block_until_ready(state.params)
-    _ = float(snr_now(state, coords_d, targets_d))
+    _ = float(snr_now(state, coords_full, targets_full))
     # re-initialize so warmup progress doesn't leak into the budget
-    state = jax.device_put(
-        init_train_state(model, jax.random.PRNGKey(1), cfg),
-        replicated_sharding(mesh))
+    state = mk_state(1)
     jax.block_until_ready(state.params)
     log(f"compile: {time.time() - t_setup:.1f}s "
         "(state re-initialized; budget contains all training steps)")
@@ -463,7 +510,7 @@ def bench_full() -> float:
         last_loss = float(np.asarray(losses[-1]))
         steps += ROUND_STEPS
         t_now = time.time() - t0
-        snr = float(snr_now(state, coords_d, targets_d))
+        snr = float(snr_now(state, coords_full, targets_full))
         if t_now <= BUDGET_S:
             snap_state = jax.tree_util.tree_map(jnp.copy, state)
             snap_steps, snap_t = steps, t_now
@@ -485,15 +532,16 @@ def bench_full() -> float:
             f"t={train_time:.1f}s state (over budget)")
 
     coords_j = jnp.asarray(problem.coords)
+    best_params = jax.jit(best_of)(state)
     decode = jax.jit(lambda p, c: model.apply(p, c))
-    msps = measure_decode(decode, (state.best_params, coords_j),
+    msps = measure_decode(decode, (best_params, coords_j),
                           problem.num_samples)
-    out = np.asarray(decode(state.best_params, coords_j))
+    out = np.asarray(decode(best_params, coords_j))
     final_snr = float(calculate_snr(problem.targets, out))
     sps = steps / max(train_time, 1e-9)
     log(f"steps/sec: {sps:.1f}  decode: "
         f"{msps:.1f} Msamples/s  final SNR: {final_snr:.2f} dB")
-    fwd = fwd_flops_per_sample(state.best_params)
+    fwd = fwd_flops_per_sample(best_params)
     log_mfu("train MFU", sps * problem.num_samples, fwd, training=True)
     log_mfu("decode MFU", msps * 1e6, fwd, training=False)
     return max(best_snr, final_snr)

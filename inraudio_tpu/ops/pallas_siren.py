@@ -80,7 +80,9 @@ def _f32_dot_mode() -> str:
     ~21-bit effective mantissa at ~2x the throughput of the exact 6-pass
     matmul — measured on the headline bench it trains to the SAME final
     SNR as 'highest' with ~1.4x the steps (BASELINE.md).
-    INRAUDIO_F32_PRECISION=highest selects the exact 6-pass matmul."""
+    INRAUDIO_F32_PRECISION=highest selects the exact 6-pass matmul;
+    'bf16x2' the 2-pass midpoint (x rounded to bf16, w kept split —
+    hi*hi + hi*lo), ~bf16-accurate in x only; 'bf16' a single pass."""
     import os
     return os.environ.get("INRAUDIO_F32_PRECISION", "bf16x3")
 
@@ -99,14 +101,24 @@ def _kernel_dot(x, w, dims, compute_dtype):
         return jax.lax.dot_general(
             x.astype(compute_dtype), w.astype(compute_dtype), dims,
             preferred_element_type=jnp.float32)
-    if _f32_dot_mode() == "bf16x3":
+    mode = _f32_dot_mode()
+    if mode in ("bf16x3", "bf16x2"):
         xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         wh = w.astype(jnp.bfloat16)
         wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
         dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
                                 preferred_element_type=jnp.float32)
+        if mode == "bf16x2":
+            # 2-pass midpoint of the ladder: keep the WEIGHT split (its
+            # rounding error is omega-amplified through sine layers) but
+            # round the activations to bf16 — drops the lo*hi pass
+            return dot(xh, wh) + dot(xh, wl)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         return dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
     return jax.lax.dot_general(x, w, dims,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)

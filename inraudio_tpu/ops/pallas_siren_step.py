@@ -27,10 +27,13 @@ plateau scheduler and best-params snapshot stay in XLA (scalar math plus
 one select over the OLD params, which must outlive the update anyway
 because the best snapshot is of the params that PRODUCED the loss).
 
-VMEM holds 7 param-set copies (p/mu/nu in, p/mu/nu out, grads scratch),
-so the fused step is gated to models whose stacked parameters fit —
-h<=128 stacks (the headline shape) qualify; h=256 falls back to the
-two-kernel path (``step_supported``).
+VMEM holds 7 param-set copies (p/mu/nu in, p/mu/nu out, grads scratch;
+9 with the in-kernel best snapshot), so the fused step is gated to models
+whose stacked parameters fit (``step_supported``): the h=128 headline
+shape runs at 512-row tiles, the h=256 production stack (reference
+run.py:30 default) at 256-row tiles, and h>=512 falls back to the
+two-kernel path.  ``bench.py BENCH_MODE=full`` A/Bs the h=256 route
+(INRAUDIO_FUSED_STEP=0 for the two-kernel baseline).
 """
 
 from __future__ import annotations

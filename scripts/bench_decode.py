@@ -60,9 +60,11 @@ def run_case(name):
         print(f"{name}: {msps:.1f} Msamples/s ({k}x{rows} rows)")
         return
     elif name == "tune256":
-        # VERDICT r3 item 2: h=256 decode levers — block_rows x sin poly
-        # degree x mixed_matmul, with output-noise SNR vs the exact XLA
-        # apply as the quality gate
+        # VERDICT r3 item 2 + r4 item 3: h=256 decode levers — block_rows x
+        # sin poly degree x mixed_matmul x packed_out (the h=128 lesson: the
+        # (n, 1) output relayout copy costs more than the kernel,
+        # ops/pallas_siren.py packed_out), with output-noise SNR vs the
+        # exact XLA apply as the quality gate
         from inraudio_tpu.ops.pallas_siren import fused_siren_apply
         cfg = SirenSnakeTanhConfig(hidden_features=256, first_omega_0=500.0)
         model = build_model("mlp", cfg)  # exact reference apply
@@ -70,21 +72,30 @@ def run_case(name):
         ref = jax.jit(lambda p, c: model.apply(p, c))(params, coords)
         ref = jax.device_get(ref)
         import numpy as np
-        for block in (1024, 2048, 4096, 8192):
-            for deg in (11, 9, 7):
-                for mixed in (False, True):
-                    fn = jax.jit(lambda p, c, b=block, d=deg, m=mixed:
+        # focused f32-frontier grid (r3 unpacked optimum: block 4096, deg 7
+        # + mixed -> 82.7 Ms/s; the goal is the fidelity-neutral tier at
+        # >= 100 Ms/s)
+        for block in (2048, 4096, 8192):
+            for deg, mixed in ((7, False), (7, True), (9, False),
+                               (11, False)):
+                for packed in (False, True):
+                    fn = jax.jit(lambda p, c, b=block, d=deg, m=mixed,
+                                 k=packed:
                                  fused_siren_apply(p, cfg, c, block_rows=b,
                                                    approx_sin=True,
                                                    sin_poly_degree=d,
-                                                   mixed_matmul=m))
+                                                   mixed_matmul=m,
+                                                   packed_out=k))
                     msps = measure_decode(fn, (params, coords), N)
                     out = np.asarray(fn(params, coords))
+                    if packed:
+                        out = out.reshape(-1)[:N].reshape(N, 1)
                     err = out - ref
                     snr = 10 * np.log10(np.sum(ref ** 2)
                                         / max(np.sum(err ** 2), 1e-30))
                     print(f"tune256 block={block} deg={deg} "
-                          f"mixed={int(mixed)}: {msps:6.1f} Msamples/s  "
+                          f"mixed={int(mixed)} packed={int(packed)}: "
+                          f"{msps:6.1f} Msamples/s  "
                           f"noise-floor {snr:6.1f} dB", flush=True)
         return
     else:

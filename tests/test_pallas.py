@@ -166,6 +166,35 @@ def test_kernel_dot_bf16x3_accuracy():
     assert err1 > 50 * err3, (err1, err3)  # one pass is far worse
 
 
+def test_kernel_dot_bf16x2_midpoint():
+    """The 2-pass split (x rounded to bf16, w kept hi+lo) sits between one
+    pass and the 3-pass split on the error ladder: w is fully accurate but
+    x carries bf16 rounding, so the error is ~half a single pass's and far
+    above bf16x3's."""
+    from inraudio_tpu.ops.pallas_siren import _kernel_dot
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 128)), jnp.float32)
+    exact = np.asarray(x, np.float64) @ np.asarray(w, np.float64)
+    dims = (((1,), (0,)), ((), ()))
+    import os
+    old = os.environ.get("INRAUDIO_F32_PRECISION")
+    try:
+        errs = {}
+        for mode in ("bf16", "bf16x2", "bf16x3"):
+            os.environ["INRAUDIO_F32_PRECISION"] = mode
+            out = np.asarray(_kernel_dot(x, w, dims, jnp.float32),
+                             np.float64)
+            errs[mode] = np.max(np.abs(out - exact)) / np.max(np.abs(exact))
+    finally:
+        if old is None:
+            os.environ.pop("INRAUDIO_F32_PRECISION", None)
+        else:
+            os.environ["INRAUDIO_F32_PRECISION"] = old
+    assert errs["bf16x2"] < errs["bf16"], errs
+    assert errs["bf16x2"] > 10 * errs["bf16x3"], errs
+
+
 def test_sin_poly_degree_floors():
     """deg 9 / 7 polynomials hit their documented error floors."""
     import jax.numpy as jnp
