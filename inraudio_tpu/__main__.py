@@ -235,6 +235,8 @@ def main(argv=None) -> int:
         from .codec import decode as _dec
         fs, sig = read_wav(args.input,
                            channel=None if args.all_channels else 0)
+        import time as _time
+        _t_enc = _time.time()
         if args.modulated:
             from .codec import ModulatedCodecConfig, encode_modulated
             q = None if args.quantize == "none" else args.quantize
@@ -264,12 +266,18 @@ def main(argv=None) -> int:
                 from .codec import config_for_bitrate
                 cfg = config_for_bitrate(args.target_bps, base=cfg)
             payload = encode(sig.astype(np.float32), fs, cfg)
+        _enc_s = _time.time() - _t_enc
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
         stats = compression_stats(payload, path)
         stats["snr_db"] = round(float(calculate_snr(
             sig.astype(np.float32), rec)), 3)
         stats["path"] = path
+        stats["encode_s"] = round(_enc_s, 2)
+        stats["audio_s"] = round(len(sig) / fs, 3)
+        import resource
+        stats["peak_host_rss_mb"] = round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
         print(json.dumps(stats))
     elif args.cmd == "decode":
         from .codec import decode as _dec, decode_range, load_inr
