@@ -263,9 +263,21 @@ def main(argv=None) -> int:
                 fused=args.fused, refit_steps=args.refit_steps,
                 max_chunks_per_batch=args.max_chunks or None)
             if args.target_bps is not None:
-                from .codec import config_for_bitrate
-                cfg = config_for_bitrate(args.target_bps, base=cfg)
-            payload = encode(sig.astype(np.float32), fs, cfg)
+                # cross-family planning: the modulated mode dominates parts
+                # of the frontier once the backbone amortises over the clip
+                from .codec import plan_for_bitrate
+                n = sig.shape[0]
+                ch = 1 if sig.ndim == 1 else sig.shape[1]
+                kind, cfg = plan_for_bitrate(args.target_bps, n, fs,
+                                             channels=ch, base=cfg)
+                if kind == "modulated":
+                    from .codec import encode_modulated
+                    payload = encode_modulated(sig.astype(np.float32),
+                                               fs, cfg)
+                else:
+                    payload = encode(sig.astype(np.float32), fs, cfg)
+            else:
+                payload = encode(sig.astype(np.float32), fs, cfg)
         _enc_s = _time.time() - _t_enc
         path = save_inr(args.output, payload)
         _, rec = _dec(payload)
@@ -273,6 +285,7 @@ def main(argv=None) -> int:
         stats["snr_db"] = round(float(calculate_snr(
             sig.astype(np.float32), rec)), 3)
         stats["path"] = path
+        stats["codec"] = payload["meta"].get("codec", "per_chunk")
         stats["encode_s"] = round(_enc_s, 2)
         stats["audio_s"] = round(len(sig) / fs, 3)
         import resource

@@ -94,24 +94,25 @@ class CodecConfig:
 # memory bound pass through).
 _RD_CAL = dict(overlap_fraction=0.1, first_omega_0=1800.0,
                learning_rate=7e-4, per_row_scales=False, refit_steps=0)
-_RD_POINTS: tuple[tuple[float, dict[str, Any]], ...] = (
-    (2.1, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=32,
-               quantize="int8", refit_steps=400)),
-    (2.6, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=36,
-               quantize="int8", refit_steps=400)),
-    (3.1, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=40,
-               quantize="int8", refit_steps=400)),
-    (4.5, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
-               quantize="int8")),
-    (8.3, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
-               quantize="float16")),
-    (56.0, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
-                quantize="int8")),
-    (109.0, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
-                 quantize="float16")),
-    (274.0, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
-                 first_omega_0=1000.0, learning_rate=1e-3,
-                 quantize="float16")),
+# (bits/sample on disk, calibrated SNR dB on gt_bach.wav, knobs)
+_RD_POINTS: tuple[tuple[float, float, dict[str, Any]], ...] = (
+    (2.1, 19.3, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=32,
+                     quantize="int8", refit_steps=400)),
+    (2.6, 22.0, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=36,
+                     quantize="int8", refit_steps=400)),
+    (3.1, 25.6, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=40,
+                     quantize="int8", refit_steps=400)),
+    (4.5, 28.7, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
+                     quantize="int8")),
+    (8.3, 30.7, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
+                     quantize="float16")),
+    (56.0, 46.3, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
+                      quantize="int8")),
+    (109.0, 59.8, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
+                       quantize="float16")),
+    (274.0, 80.0, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
+                       first_omega_0=1000.0, learning_rate=1e-3,
+                       quantize="float16")),
 )
 
 
@@ -125,13 +126,133 @@ def config_for_bitrate(target_bits_per_sample: float,
     rate at fixed ``chunk_seconds``, so treat the target as approximate
     for other rates.  ``base`` carries every knob the table doesn't set
     (fused, seed, max_chunks_per_batch, ...).
+
+    Per-chunk points only; ``plan_for_bitrate`` additionally considers the
+    shared-backbone modulated mode, which dominates parts of the frontier
+    once the backbone amortises over the clip.
     """
     base = base or CodecConfig()
-    chosen = _RD_POINTS[0][1]
-    for bps, knobs in _RD_POINTS:
+    chosen = _RD_POINTS[0][2]
+    for bps, _snr, knobs in _RD_POINTS:
         if bps <= target_bits_per_sample * 1.05:
             chosen = knobs
     return dataclasses.replace(base, **chosen)
+
+
+# Modulated operating points for target-bps planning.  Unlike the
+# per-chunk table, a modulated point's bits/sample DEPENDS ON CLIP LENGTH
+# (the backbone amortises), so entries store knobs + the SNR calibrated on
+# gt_bach.wav and ``estimate_modulated_bps`` prices each candidate at the
+# actual clip length at plan time.  ``snr_db=None`` = not yet calibrated
+# on TPU (excluded from selection); values are stamped from
+# scripts/bench_modulated.py runs.
+_MOD_RD_CAL = dict(chunk_seconds=0.05, overlap_fraction=0.1,
+                   first_omega_0=500.0, learning_rate=1e-3,
+                   mods_lr_mult=5.0)
+_MOD_RD_POINTS: tuple[tuple[str, float | None, dict[str, Any]], ...] = (
+    # low-rate: whole-clip backbone, int8 mods + QA backbone refit
+    ("mod_h48_i8", None, dict(_MOD_RD_CAL, hidden_features=48,
+                              quantize_mods="int8",
+                              refit_backbone_steps=400)),
+    ("mod_h64_i8", None, dict(_MOD_RD_CAL, hidden_features=64,
+                              quantize_mods="int8",
+                              refit_backbone_steps=400)),
+    # mid/hi-fi: 1 s segmented backbones, int16 mods (the tier that
+    # removes fp16's ~76 dB cap at identical bytes)
+    ("mod_seg1_h96_i16", None, dict(_MOD_RD_CAL, hidden_features=96,
+                                    segment_s=1.0, quantize_mods="int16")),
+    ("mod_seg1_h128_i16", None, dict(_MOD_RD_CAL, hidden_features=128,
+                                     segment_s=1.0, quantize_mods="int16")),
+)
+
+
+def estimate_modulated_bps(cfg: ModulatedCodecConfig, n_samples: int,
+                           sample_rate: int, channels: int = 1) -> float:
+    """Exact in-memory bits/sample a ``encode_modulated`` payload of this
+    shape will occupy (the INRA container then shaves a further ~6-15% on
+    disk, BASELINE.md storage-layer findings).  Pure arithmetic — mirrors
+    the payload layout (mods + per-column scales + stored backbones +
+    chunk scales) without touching a device, so target-bps planning can
+    price duration-dependent modulated candidates for free."""
+    from .models.modulated import mod_dim as _mod_dim
+
+    n = int(round(cfg.chunk_seconds * sample_rate))
+    hop = max(n - int(round(cfg.overlap_fraction * n)), 1)
+    k = max(1, int(np.ceil(max(n_samples - n, 0) / hop)) + 1)
+    kc = k * channels
+    model_cfg = SirenSnakeTanhConfig(
+        hidden_features=cfg.hidden_features, num_sine=cfg.num_sine,
+        num_snake=cfg.num_snake)
+    md = _mod_dim(model_cfg, cfg.film_scale)
+    quant = cfg.quantize_mods
+    if quant is None:
+        mods_b = kc * md * 4
+    elif quant == "int8":
+        mods_b = kc * md * 1 + md * 4          # per-column f32 scales
+    else:  # float16 / int16 / auto — all 2 bytes/value at this grain
+        mods_b = kc * md * 2 + (md * 4 if quant in ("int16", "auto") else 0)
+    if cfg.segment_s is None:
+        n_seg = 1
+    else:
+        n_seg = max(1, min(k, int(np.ceil(
+            n_samples / (cfg.segment_s * sample_rate)))))
+    h = cfg.hidden_features
+    kinds = model_cfg.layer_kinds
+    bb = 0
+    for li, kind in enumerate(kinds):
+        in_f = model_cfg.in_features if li == 0 else h
+        out_f = model_cfg.out_features if li == len(kinds) - 1 else h
+        vals = in_f * out_f + out_f + (out_f if kind == "linear_snake" else 0)
+        # _store_shared: layer 0 stays float32 (omega0-amplified), the
+        # rest ship fp16 when shared_fp16
+        bb += vals * (4 if (li == 0 or not cfg.shared_fp16) else 2)
+    total = mods_b + n_seg * bb + kc * 4       # + per-chunk peak scales
+    return 8.0 * total / (n_samples * channels)
+
+
+def plan_for_bitrate(target_bits_per_sample: float, n_samples: int,
+                     sample_rate: int, channels: int = 1,
+                     base: CodecConfig | None = None,
+                     mod_base: ModulatedCodecConfig | None = None,
+                     _mod_points=None
+                     ) -> tuple[str, CodecConfig | ModulatedCodecConfig]:
+    """Pick the best calibrated operating point — per-chunk OR modulated —
+    for a target on-disk bits/sample: the highest-SNR candidate that fits
+    the target (the cheapest candidate overall if none fits).
+
+    -> ("per_chunk", CodecConfig) or ("modulated", ModulatedCodecConfig).
+
+    Per-chunk candidates carry their calibrated on-disk bps (duration-
+    independent: payload scales with the clip); modulated candidates are
+    priced at THIS clip's length via ``estimate_modulated_bps`` (scaled by
+    the ~0.93 in-memory -> INRA-on-disk factor measured on modulated
+    payloads) because the backbone amortises.  SNR calibrations are
+    gt_bach.wav (7 s, 44.1 kHz) measurements; uncalibrated modulated
+    entries (snr_db None) never get selected.  ``base``/``mod_base`` carry
+    the knobs the tables don't pin (fused, seed, max_chunks_per_batch...).
+    """
+    base = base or CodecConfig()
+    mod_base = mod_base or ModulatedCodecConfig()
+    # (snr, fits_target, bps, kind, cfg)
+    cands: list[tuple[float, float, str, Any]] = []
+    for bps, snr, knobs in _RD_POINTS:
+        cands.append((snr, bps, "per_chunk",
+                      dataclasses.replace(base, **knobs)))
+    for _name, snr, knobs in (_MOD_RD_POINTS if _mod_points is None
+                              else _mod_points):
+        if snr is None:
+            continue
+        mcfg = dataclasses.replace(mod_base, **knobs)
+        bps = 0.93 * estimate_modulated_bps(mcfg, n_samples, sample_rate,
+                                            channels)
+        cands.append((snr, bps, "modulated", mcfg))
+    fitting = [c for c in cands
+               if c[1] <= target_bits_per_sample * 1.05]
+    if fitting:
+        snr, _bps, kind, cfg = max(fitting, key=lambda c: c[0])
+    else:
+        snr, _bps, kind, cfg = min(cands, key=lambda c: c[1])
+    return kind, cfg
 
 
 # Side leaves (layers-1+ biases, snake a) ship as fp16 for every quantize

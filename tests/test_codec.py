@@ -793,3 +793,61 @@ def test_cli_info(tmp_path, capsys):
     assert main(["info", "--input", path]) == 0
     out = capsys.readouterr().out
     assert "INRA container" in out and "bits/sample" in out
+
+
+def test_estimate_modulated_bps_exact():
+    """The analytic estimator must reproduce a real payload's in-memory
+    bits/sample EXACTLY — it mirrors the layout (mods + per-column scales
+    + stored backbones + chunk scales), so any drift means the payload
+    format moved without the planner."""
+    from inraudio_tpu.codec import (ModulatedCodecConfig, compression_stats,
+                                    encode_modulated, estimate_modulated_bps)
+
+    sig = _sig(0.6)
+    for quant, seg in ((None, None), ("float16", None), ("int8", None),
+                       ("int16", 0.25)):
+        cfg = ModulatedCodecConfig(chunk_seconds=0.1, hidden_features=32,
+                                   first_omega_0=200.0, total_steps=10,
+                                   quantize_mods=quant, segment_s=seg)
+        payload = encode_modulated(sig, FS, cfg)
+        st = compression_stats(payload)
+        est = estimate_modulated_bps(cfg, len(sig), FS)
+        assert abs(est - st["bits_per_sample"]) < 1e-9, (
+            quant, seg, est, st["bits_per_sample"])
+
+
+def test_plan_for_bitrate_selects_modulated_when_calibrated():
+    """Cross-family planning: a calibrated modulated point that fits the
+    budget at higher SNR must win over the per-chunk table; uncalibrated
+    (snr None) entries are never selected; per-chunk wins when nothing
+    modulated fits."""
+    from inraudio_tpu.codec import (CodecConfig, ModulatedCodecConfig,
+                                    estimate_modulated_bps, plan_for_bitrate)
+
+    n, fs = 7 * 44100, 44100
+    knobs = dict(chunk_seconds=0.05, hidden_features=64,
+                 quantize_mods="int8")
+    est = 0.93 * estimate_modulated_bps(
+        ModulatedCodecConfig(**knobs), n, fs)
+    # calibrated at an SNR above every per-chunk point that fits est
+    pts = (("m", 90.0, knobs),)
+    kind, cfg = plan_for_bitrate(est * 1.2, n, fs, _mod_points=pts)
+    assert kind == "modulated" and isinstance(cfg, ModulatedCodecConfig)
+    assert cfg.hidden_features == 64
+
+    # same point uncalibrated -> per-chunk fallback
+    kind, cfg = plan_for_bitrate(est * 1.2, n, fs,
+                                 _mod_points=(("m", None, knobs),))
+    assert kind == "per_chunk" and isinstance(cfg, CodecConfig)
+
+    # budget below the modulated estimate -> per-chunk point (pricier
+    # modulated candidate: fp16 mods at h=128 is ~5.6 bps on this clip)
+    pricey = (("m", 90.0, dict(chunk_seconds=0.05, hidden_features=128,
+                               quantize_mods="float16")),)
+    kind, cfg = plan_for_bitrate(2.2, n, fs, _mod_points=pricey)
+    assert kind == "per_chunk" and cfg.hidden_features == 32
+
+    # base knobs survive planning
+    base = CodecConfig(fused=True, seed=3)
+    kind, cfg = plan_for_bitrate(2.2, n, fs, base=base, _mod_points=pricey)
+    assert cfg.fused and cfg.seed == 3
