@@ -58,4 +58,9 @@ timeout 3000 python -m inraudio_tpu encode --input /tmp/long60.wav \
     >$L/12_minute_encode.log 2>&1; tail -8 $L/12_minute_encode.log
 timeout 1200 python -m inraudio_tpu decode --input /tmp/long60.inra \
     --output /tmp/long60_rec.wav >$L/13_minute_decode.log 2>&1; tail -6 $L/13_minute_decode.log
+
+# 10. refresh results_parity (VERDICT r3 weak 8: the 20k-step parity runs
+#     predate the INRA container + fp16 side leaves, so their size-on-disk
+#     is stale) — re-runs the reference-default and tuned 20k recipes
+timeout 2400 python scripts/parity_longrun.py >$L/14_parity.log 2>&1; tail -8 $L/14_parity.log
 echo "QUEUE DONE $(date)"
