@@ -22,9 +22,27 @@ SMALL = CodecConfig(chunk_seconds=0.1, hidden_features=32,
                     learning_rate=1e-3, quantize=None)
 
 
-def test_encode_decode_roundtrip_snr():
+@pytest.fixture(scope="module")
+def small_payload():
+    """(sig, payload): ONE SMALL-config float32 encode, shared by every
+    test that only READS a trained payload (containers, info, range /
+    stream / upsample decode).  Tests must not mutate it — copy the dicts
+    before editing metadata."""
     sig = _sig()
-    payload = encode(sig, FS, SMALL)
+    return sig, encode(sig, FS, SMALL)
+
+
+@pytest.fixture(scope="module")
+def int8_payload():
+    """(sig, payload) at quantize='int8' — the shared read-only payload
+    for container/storage-layer tests."""
+    sig = _sig(0.4)
+    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8"})
+    return sig, encode(sig, FS, cfg)
+
+
+def test_encode_decode_roundtrip_snr(small_payload):
+    sig, payload = small_payload
     fs, rec = decode(payload)
     assert fs == FS and len(rec) == len(sig)
     snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
@@ -34,8 +52,10 @@ def test_encode_decode_roundtrip_snr():
 @pytest.mark.parametrize("mode", ["float16", "bfloat16", "int8", "int16",
                                   "int4"])
 def test_quantized_file_roundtrip(tmp_path, mode):
+    # 40 steps: the file round trip is about BITS, not fit quality
     sig = _sig(0.3)
-    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": mode})
+    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": mode,
+                         "total_steps": 40})
     payload = encode(sig, FS, cfg)
     path = save_inr(str(tmp_path / "x.inr"), payload)
     loaded = load_inr(path)
@@ -63,10 +83,9 @@ def test_cli_encode_decode(tmp_path):
     assert rc == 0 and os.path.exists(dec)
 
 
-def test_decode_upsample():
+def test_decode_upsample(small_payload):
     """upsample=2 decodes the payload at twice the rate (INR BWE)."""
-    sig = _sig(0.3)
-    payload = encode(sig, FS, SMALL)
+    sig, payload = small_payload
     fs2, rec2 = decode(payload, upsample=2)
     assert fs2 == 2 * FS and len(rec2) == 2 * len(sig)
     # the upsample grid subdivides the training grid, so every 2nd decode
@@ -78,12 +97,13 @@ def test_decode_upsample():
     assert snr > 30, snr
 
 
-def test_old_format_rejected_with_versioned_error():
+def test_old_format_rejected_with_versioned_error(small_payload):
     import pytest
-    payload = encode(_sig(0.1), FS, SMALL)
-    payload["meta"] = dict(payload["meta"], format="inraudio_tpu.inr.v1")
+    _, payload = small_payload
+    old = dict(payload,
+               meta=dict(payload["meta"], format="inraudio_tpu.inr.v1"))
     with pytest.raises(ValueError, match="v1.*re-encoded|unsupported"):
-        decode(payload)
+        decode(old)
 
 
 @pytest.mark.parametrize("mode", ["int8", "int4"])
@@ -188,15 +208,15 @@ def test_quantize_per_row_scale_shapes():
                   / np.maximum(step, 1e-12)) <= 0.5 + 1e-6
 
 
-def test_decode_range_matches_full_slice(tmp_path):
+def test_decode_range_matches_full_slice(tmp_path, small_payload):
     """Random-access decode equals slicing the full decode (to ~1 ulp —
     XLA vectorizes the smaller eval batch differently): the selected chunk
     window is exactly the covering set and the stitch order is unchanged
     (codec.decode_range / multi_inr.decode_chunk_range)."""
     from inraudio_tpu.codec import decode_range
 
-    sig = _sig()  # 0.5 s @ 4 kHz, 0.1 s chunks, 25% overlap -> 6+ chunks
-    payload = encode(sig, FS, SMALL)
+    # 0.5 s @ 4 kHz, 0.1 s chunks, 25% overlap -> 6+ chunks
+    sig, payload = small_payload
     _, full = decode(payload)
 
     # interior range spanning several chunk boundaries
@@ -507,13 +527,12 @@ def test_modulated_stereo(tmp_path):
     np.testing.assert_allclose(part, rec[a:b], rtol=0, atol=1e-6)
 
 
-def test_decode_stream_blocks_equal_full():
+def test_decode_stream_blocks_equal_full(small_payload):
     """Streaming decode: concatenated blocks equal the full decode (both
     per-chunk and modulated payloads), block boundaries are exact."""
     from inraudio_tpu.codec import (ModulatedCodecConfig, decode_stream,
                                     encode_modulated)
-    sig = _sig(0.45)
-    p1 = encode(sig, FS, SMALL)
+    sig, p1 = small_payload          # 0.5 s
     _, full1 = decode(p1)
     blocks = list(decode_stream(p1, block_s=0.13))
     assert blocks[0][0] == 0 and len(blocks) == 4
@@ -659,12 +678,10 @@ def test_modulated_auto_tier_e2e():
 
 # ---- INRA container + side-leaf quantization (r3) ----------------------
 
-def test_inra_container_bitexact_and_no_larger(tmp_path):
+def test_inra_container_bitexact_and_no_larger(tmp_path, int8_payload):
     """INRA (per-leaf best-of entropy coding) round-trips every leaf
     bit-exactly and never beats npz at its own game by being larger."""
-    sig = _sig(0.4)
-    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8"})
-    payload = encode(sig, FS, cfg)
+    _, payload = int8_payload
     p_npz = save_inr(str(tmp_path / "x.npz"), payload)
     p_inra = save_inr(str(tmp_path / "x"), payload)
     assert p_inra.endswith(".inra")
@@ -678,9 +695,9 @@ def test_inra_container_bitexact_and_no_larger(tmp_path):
     assert os.path.getsize(p_inra) <= os.path.getsize(p_npz)
 
 
-def test_inra_detects_container_by_magic_not_extension(tmp_path):
-    sig = _sig(0.2)
-    payload = encode(sig, FS, SMALL)
+def test_inra_detects_container_by_magic_not_extension(tmp_path,
+                                                       small_payload):
+    _, payload = small_payload
     # an .npz written under a neutral name still loads (magic sniffing)
     p = save_inr(str(tmp_path / "odd.npz"), payload)
     os.rename(p, str(tmp_path / "renamed.bin"))
@@ -694,7 +711,7 @@ def test_sideless_legacy_payload_loads(tmp_path):
     meta side_quantized False/absent) keep loading and decoding."""
     sig = _sig(0.3)
     cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8",
-                         "side_quantize": False})
+                         "side_quantize": False, "total_steps": 40})
     payload = encode(sig, FS, cfg)
     assert payload["meta"]["side_quantized"] is False
     # simulate a pre-r3 header with the key absent entirely
@@ -730,6 +747,7 @@ def test_side_quantization_structure_and_cost():
             assert np.max(np.abs(orig - got)) <= peak / 64, (mode, li)
 
 
+@pytest.mark.slow
 def test_side_quantization_snr_parity():
     """side_quantize=True (fp16 sides) costs (sub-)tenth-dB SNR at every
     measured operating point (15/19/28/44 dB) while cutting the
@@ -752,14 +770,12 @@ def test_side_quantization_snr_parity():
     assert s_on < s_off, (s_on, s_off)
 
 
-def test_payload_info_both_containers(tmp_path):
+def test_payload_info_both_containers(tmp_path, int8_payload):
     """`info` inspects a payload without decoding: container kind, codec
     meta, per-leaf storage table, and file-level bits/sample that match
     compression_stats."""
     from inraudio_tpu.codec import payload_info
-    sig = _sig(0.3)
-    cfg = CodecConfig(**{**SMALL.__dict__, "quantize": "int8"})
-    payload = encode(sig, FS, cfg)
+    _, payload = int8_payload
     for name in ("x", "x.npz"):
         path = save_inr(str(tmp_path / name), payload)
         rec = payload_info(path)
@@ -780,11 +796,10 @@ def test_payload_info_both_containers(tmp_path):
     assert load_inr(str(tmp_path / "x"))["meta"]["quantize"] == "int8"
 
 
-def test_cli_info(tmp_path, capsys):
+def test_cli_info(tmp_path, capsys, small_payload):
     from inraudio_tpu.__main__ import main
     from inraudio_tpu.codec import save_inr as _save
-    sig = _sig(0.2)
-    payload = encode(sig, FS, SMALL)
+    _, payload = small_payload
     path = _save(str(tmp_path / "p"), payload)
     assert main(["info", "--input", path, "--json"]) == 0
     rec = json.loads(capsys.readouterr().out.strip())

@@ -45,13 +45,13 @@ class TestFitIntegration:
         coords, targets, sig = _sine_problem()
         model = build_model("mlp", SMALL)
         res = fit(model, coords, targets,
-                  TrainConfig(total_steps=800, learning_rate=1e-3), key=KEY,
+                  TrainConfig(total_steps=500, learning_rate=1e-3), key=KEY,
                   mesh=_mesh1())
         out = np.asarray(model.apply(res.params, jnp.asarray(coords)))
         snr = float(calculate_snr(sig, out.reshape(-1)))
         assert snr > 25, f"sine fit SNR {snr:.1f} dB"
         # loss history is per-step and decreasing overall
-        assert res.loss_history.shape == (800,)
+        assert res.loss_history.shape == (500,)
         assert res.loss_history.min() < res.loss_history[:20].mean() / 100
 
     def test_best_params_at_least_as_good_as_final(self):
