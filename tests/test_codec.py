@@ -17,8 +17,10 @@ def _sig(seconds=0.5, f=220.0):
     return (0.7 * np.sin(2 * np.pi * f * t)).astype(np.float32)
 
 
+# 200 steps fit the 220 Hz probe tone to ~59 dB — far above every
+# quality assert below; more steps only slow the gate
 SMALL = CodecConfig(chunk_seconds=0.1, hidden_features=32,
-                    first_omega_0=200.0, total_steps=400,
+                    first_omega_0=200.0, total_steps=200,
                     learning_rate=1e-3, quantize=None)
 
 
@@ -373,7 +375,7 @@ def test_modulated_encode_decode(tmp_path):
 
     sig = _sig(0.6)
     cfg = ModulatedCodecConfig(chunk_seconds=0.1, hidden_features=32,
-                               first_omega_0=200.0, total_steps=800,
+                               first_omega_0=200.0, total_steps=500,
                                learning_rate=2e-3, quantize_mods=None,
                                shared_fp16=False)
     payload = encode_modulated(sig, FS, cfg)

@@ -107,7 +107,7 @@ class TestTrainRunner:
     def test_rff_encoding_path(self):
         with tempfile.TemporaryDirectory() as d:
             train(d, "r", filename=BACH, duration=0.2, num_freq=32,
-                  **{**FAST, "omega": 30.0, "total_steps": 200})
+                  **{**FAST, "omega": 30.0, "total_steps": 60})
             assert os.path.exists(os.path.join(d, "r", "output.wav"))
 
     @pytest.mark.slow
@@ -135,7 +135,7 @@ class TestTrainRunner:
     def test_decimation_and_bwe(self):
         with tempfile.TemporaryDirectory() as d:
             train(d, "b", filename=BACH, duration=0.2, decimation=2, bwe=True,
-                  **{**FAST, "total_steps": 150})
+                  **{**FAST, "total_steps": 60})
             import scipy.io.wavfile as wavfile
             rate, wav = wavfile.read(os.path.join(d, "b", "output.wav"))
             assert rate == FS  # BWE decodes at the ORIGINAL rate
@@ -175,7 +175,7 @@ class TestProceduralAndBandSplit:
         with tempfile.TemporaryDirectory() as d:
             ckpt = procedural_train(d, "p", decimations=(4, 2),
                                     filename=BACH, duration=0.2, **{
-                                        **FAST, "total_steps": 80})
+                                        **FAST, "total_steps": 40})
             assert os.path.exists(ckpt)
             assert os.path.exists(os.path.join(d, "p_d4"))
             assert os.path.exists(os.path.join(d, "p_d2"))
@@ -286,7 +286,7 @@ def test_cli_fit_multi(tmp_path):
     with contextlib.redirect_stdout(buf):
         rc = main(["fit-multi", "--input", wav, "--output", out,
                    "--chunk-s", "0.1", "--hidden", "32", "--omega", "200",
-                   "--total-steps", "400"])
+                   "--total-steps", "200"])
     assert rc == 0 and os.path.exists(out)
     rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rec["snr_db"] > 20, rec

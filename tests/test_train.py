@@ -200,7 +200,7 @@ class TestDecode:
         problem = waveform_fitting_from_array(0.5 * sig, FS, coord_scale=1.0)
         model = build_model("mlp", SMALL)
         res = fit(model, problem.coords, problem.targets,
-                  TrainConfig(total_steps=600), key=KEY, mesh=_mesh1())
+                  TrainConfig(total_steps=300), key=KEY, mesh=_mesh1())
         wav, rate = decode_problem(model, res.params, problem)
         assert rate == FS
         assert wav.shape == (len(sig),)
