@@ -87,7 +87,7 @@ def _f32_dot_mode() -> str:
     return os.environ.get("INRAUDIO_F32_PRECISION", "bf16x3")
 
 
-def _kernel_dot(x, w, dims, compute_dtype):
+def _kernel_dot(x, w, dims, compute_dtype, mode: str | None = None):
     """dot_general for the kernels with explicit f32 precision handling.
 
     bf16 inputs: single MXU pass (that IS the requested precision).
@@ -96,12 +96,18 @@ def _kernel_dot(x, w, dims, compute_dtype):
     cross products (hi*hi + hi*lo + lo*hi) with f32 accumulation — Mosaic
     has no Precision.HIGH lowering, so the classic bf16x3 decomposition is
     done by hand.
+
+    ``mode`` overrides the process-wide INRAUDIO_F32_PRECISION choice for
+    this call — the decode path uses it as a per-model quality-gated tier
+    (bf16x2's one-forward-pass error is benign at decode, while in
+    TRAINING it compounds through Adam: measured -58 dB on the headline,
+    BASELINE.md r4 A/B).
     """
     if compute_dtype != jnp.float32:
         return jax.lax.dot_general(
             x.astype(compute_dtype), w.astype(compute_dtype), dims,
             preferred_element_type=jnp.float32)
-    mode = _f32_dot_mode()
+    mode = mode or _f32_dot_mode()
     if mode in ("bf16x3", "bf16x2"):
         xh = x.astype(jnp.bfloat16)
         wh = w.astype(jnp.bfloat16)
@@ -199,7 +205,8 @@ def _rff_features_in_kernel(x, bt, in_features, sin_fn, cos_fn):
 
 def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                   compute_dtype, compact_out=False, approx_sin=False,
-                  rff_features=0, sin_poly_degree=11, mixed_matmul=False):
+                  rff_features=0, sin_poly_degree=11, mixed_matmul=False,
+                  f32_mode=None):
     """refs = [(bt?), w0, b0, (a0?), w1, b1, (a1?), ..., out_ref].
 
     ``compact_out``: the model output is scalar (out_features == 1), so
@@ -233,8 +240,10 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
             cv, sv = _rff_features_in_kernel(x, bt_ref[:], in_features,
                                              sin_fn, cos_fn)
             dims = (((1,), (0,)), ((), ()))
-            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype)
-                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype)
+            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype,
+                               mode=f32_mode)
+                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype,
+                                 mode=f32_mode)
                    + b.astype(jnp.float32))
         elif li == 0:
             # tiny-in first layer: exact f32 VPU multiply-adds
@@ -251,7 +260,7 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                   and kind in ("linear_snake", "linear_tanh", "linear_last")
                   else compute_dtype)
             pre = _kernel_dot(x, w[:], (((1,), (0,)), ((), ())),
-                              dt) + b.astype(jnp.float32)
+                              dt, mode=f32_mode) + b.astype(jnp.float32)
         if kind in ("sine_first", "sine"):
             x = sin_fn(omegas[li] * pre)
         elif kind == "linear_snake":
@@ -273,12 +282,14 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                                              "compute_dtype_name",
                                              "interpret", "approx_sin",
                                              "sin_poly_degree",
-                                             "mixed_matmul", "packed_out"))
+                                             "mixed_matmul", "packed_out",
+                                             "f32_mode"))
 def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                      block_rows: int, compute_dtype_name: str,
                      interpret: bool, approx_sin: bool = False,
                      bt=None, sin_poly_degree: int = 11,
-                     mixed_matmul: bool = False, packed_out: bool = False):
+                     mixed_matmul: bool = False, packed_out: bool = False,
+                     f32_mode: str | None = None):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -317,7 +328,8 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                                compact_out=compact, approx_sin=approx_sin,
                                rff_features=rff_features,
                                sin_poly_degree=sin_poly_degree,
-                               mixed_matmul=mixed_matmul)
+                               mixed_matmul=mixed_matmul,
+                               f32_mode=f32_mode)
     if compact:
         # scalar output packed (n_pad // 128, 128): exactly n_pad floats of
         # HBM write instead of a 128-lane-padded (n_pad, 128) activation
@@ -394,7 +406,8 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                       rff_b: jax.Array | None = None,
                       sin_poly_degree: int = 11,
                       mixed_matmul: bool = False,
-                      packed_out: bool = False) -> jax.Array:
+                      packed_out: bool = False,
+                      f32_mode: str | None = None) -> jax.Array:
     """Fused full-stack forward: drop-in for siren_snake_tanh_apply.
 
     ``approx_sin=True`` swaps jnp.sin/cos for the Cody-Waite + degree-11
@@ -404,6 +417,10 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
     -95 / -63 dB) — decode-only lever for models fit well below the floor.
     ``mixed_matmul=True`` single-passes the NON-sine layers' matmuls in
     bf16 (their error is not omega-amplified); quality-gate per model.
+    ``f32_mode`` overrides INRAUDIO_F32_PRECISION for this call's f32
+    matmuls ('bf16x2' = 2-pass split: a decode-only midpoint tier — its
+    activation-rounding error is benign in a single forward but compounds
+    catastrophically in training, BASELINE.md r4 A/B).
 
     ``rff_b`` (F, d): fold the Gaussian Fourier encoding into the kernel —
     ``coords`` are then the RAW coordinates and ``cfg.in_features`` must be
@@ -439,7 +456,8 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
     return _fused_apply_jit(flat, coords, cfg, block_rows, name, interpret,
                             approx_sin, bt=bt,
                             sin_poly_degree=sin_poly_degree,
-                            mixed_matmul=mixed_matmul, packed_out=packed_out)
+                            mixed_matmul=mixed_matmul, packed_out=packed_out,
+                            f32_mode=f32_mode)
 
 
 # Decode-noise floors of each fused-decode configuration, measured against

@@ -75,17 +75,26 @@ def run_case(name):
         # focused f32-frontier grid (r3 unpacked optimum: block 4096, deg 7
         # + mixed -> 82.7 Ms/s; the goal is the fidelity-neutral tier at
         # >= 100 Ms/s)
+        # r4: f32_mode joins the grid — 'bf16x2' double-passes the sine
+        # layers (x rounded to bf16, w split) as a decode-only midpoint
+        # between the bf16 single-pass tier (floor ~43 dB) and bf16x3
+        # (~50-60 with mixed) — candidates for the fidelity-neutral
+        # >=100 Msamples/s tier at h=256
         for block in (2048, 4096, 8192):
-            for deg, mixed in ((7, False), (7, True), (9, False),
-                               (11, False)):
+            for deg, mixed, f32m in (
+                    (7, False, None), (7, True, None), (9, False, None),
+                    (11, False, None),
+                    (7, True, "bf16x2"), (7, False, "bf16x2"),
+                    (9, False, "bf16x2"), (9, True, "bf16x2")):
                 for packed in (False, True):
                     fn = jax.jit(lambda p, c, b=block, d=deg, m=mixed,
-                                 k=packed:
+                                 k=packed, fm=f32m:
                                  fused_siren_apply(p, cfg, c, block_rows=b,
                                                    approx_sin=True,
                                                    sin_poly_degree=d,
                                                    mixed_matmul=m,
-                                                   packed_out=k))
+                                                   packed_out=k,
+                                                   f32_mode=fm))
                     msps = measure_decode(fn, (params, coords), N)
                     out = np.asarray(fn(params, coords))
                     if packed:
@@ -94,7 +103,8 @@ def run_case(name):
                     snr = 10 * np.log10(np.sum(ref ** 2)
                                         / max(np.sum(err ** 2), 1e-30))
                     print(f"tune256 block={block} deg={deg} "
-                          f"mixed={int(mixed)} packed={int(packed)}: "
+                          f"mixed={int(mixed)} f32m={f32m or 'bf16x3'} "
+                          f"packed={int(packed)}: "
                           f"{msps:6.1f} Msamples/s  "
                           f"noise-floor {snr:6.1f} dB", flush=True)
         return

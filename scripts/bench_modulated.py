@@ -126,6 +126,17 @@ POINTS = {
                           first_omega_0=500.0, learning_rate=1e-3,
                           mods_lr_mult=5.0, segment_s=1.0,
                           quantize_mods="int16"),
+    # exact-knob calibration runs for codec._MOD_RD_POINTS (the low-rate
+    # whole-clip-backbone entries): int8 mods + QA backbone refit, hot
+    # modulation lr — these stamp the table's snr_db fields
+    "mod_h48_i8": dict(chunk_seconds=0.05, hidden_features=48,
+                       first_omega_0=500.0, learning_rate=1e-3,
+                       mods_lr_mult=5.0, quantize_mods="int8",
+                       refit_backbone_steps=400),
+    "mod_h64_i8": dict(chunk_seconds=0.05, hidden_features=64,
+                       first_omega_0=500.0, learning_rate=1e-3,
+                       mods_lr_mult=5.0, quantize_mods="int8",
+                       refit_backbone_steps=400),
 }
 
 

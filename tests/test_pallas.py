@@ -308,3 +308,33 @@ def test_decode_dense_quality_gate_routes_through_tier():
     assert float(np.max(np.abs(gated - exact))) < 2e-2 * max(scale, 1e-3)
     ungated = decode_dense(model, p, coords)
     np.testing.assert_array_equal(ungated, exact)
+
+
+def test_f32_mode_decode_tier_ladder():
+    """Per-call f32_mode overrides the env precision for the decode kernel:
+    bf16x2 (2-pass, x rounded) must sit between bf16x3 and a pure-bf16
+    compute in accuracy, and every mode must stay within its expected
+    floor of the exact apply."""
+    cfg = SirenSnakeTanhConfig(first_omega_0=300.0, hidden_features=64,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    p = model.init(jax.random.PRNGKey(0))
+    coords = jnp.linspace(-1, 1, 512).reshape(-1, 1)
+    ref = model.apply(p, coords)
+    scale = float(jnp.max(jnp.abs(ref)))
+
+    def err(**kw):
+        out = fused_siren_apply(p, cfg, coords, block_rows=512,
+                                interpret=True, **kw)
+        return float(jnp.max(jnp.abs(out - ref)))
+
+    e_x3 = err()                      # default bf16x3
+    e_x2 = err(f32_mode="bf16x2")
+    e_bf = err(compute_dtype=jnp.bfloat16)
+    assert e_x3 < 1e-4 * max(scale, 1e-3), e_x3
+    assert e_x2 < 1e-2 * max(scale, 1e-3), e_x2
+    # the ladder must be ordered: 3-pass <= 2-pass <= 1-pass bf16
+    assert e_x3 <= e_x2 <= e_bf * 4, (e_x3, e_x2, e_bf)
+    # f32_mode composes with mixed_matmul (sine 2-pass, non-sine 1-pass)
+    e_x2m = err(f32_mode="bf16x2", mixed_matmul=True)
+    assert e_x2m < 2e-2 * max(scale, 1e-3), e_x2m
