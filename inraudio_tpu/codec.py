@@ -95,22 +95,28 @@ class CodecConfig:
 _RD_CAL = dict(overlap_fraction=0.1, first_omega_0=1800.0,
                learning_rate=7e-4, per_row_scales=False, refit_steps=0)
 # (bits/sample on disk, calibrated SNR dB on gt_bach.wav, knobs)
+# r4 recalibration: all rates are INRA-container on-disk figures
+# (bench_logs_r4/09_rd.log, 10_rd_i16.log — the r2/r3 values predated the
+# container + fp16 side leaves and overstated every point's bps by 7-17%).
+# int16 weights re-measured at these fit levels: SNR-identical to fp16 but
+# 7-14% LARGER on disk (int16_h48 7.86 vs fp16 6.91 bps at 32.1 dB both),
+# so fp16 stays the table's weight tier below its ~76 dB cap.
 _RD_POINTS: tuple[tuple[float, float, dict[str, Any]], ...] = (
-    (2.1, 19.3, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=32,
-                     quantize="int8", refit_steps=400)),
-    (2.6, 22.0, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=36,
-                     quantize="int8", refit_steps=400)),
-    (3.1, 25.6, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=40,
-                     quantize="int8", refit_steps=400)),
-    (4.5, 28.7, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
-                     quantize="int8")),
-    (8.3, 30.7, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
-                     quantize="float16")),
-    (56.0, 46.3, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
+    (1.88, 19.2, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=32,
+                      quantize="int8", refit_steps=400)),
+    (2.32, 22.3, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=36,
+                      quantize="int8", refit_steps=400)),
+    (2.82, 25.6, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=40,
+                      quantize="int8", refit_steps=400)),
+    (3.97, 30.5, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
                       quantize="int8")),
-    (109.0, 59.8, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
-                       quantize="float16")),
-    (274.0, 80.0, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
+    (6.91, 32.1, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
+                      quantize="float16")),
+    (50.9, 46.3, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
+                      quantize="int8")),
+    (90.2, 56.7, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
+                      quantize="float16")),
+    (250.0, 80.0, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
                        first_omega_0=1000.0, learning_rate=1e-3,
                        quantize="float16")),
 )
@@ -158,10 +164,16 @@ _MOD_RD_POINTS: tuple[tuple[str, float | None, dict[str, Any]], ...] = (
                               quantize_mods="int8",
                               refit_backbone_steps=400)),
     # mid/hi-fi: 1 s segmented backbones, int16 mods (the tier that
-    # removes fp16's ~76 dB cap at identical bytes)
-    ("mod_seg1_h96_i16", None, dict(_MOD_RD_CAL, hidden_features=96,
+    # removes fp16's ~76 dB cap at identical bytes).  r4 TPU calibration
+    # (bench_logs_r4/08_modulated_i16.log, 3000 steps, gt_bach 7 s):
+    # h96 = 31.4 dB @ 15.5 disk bps, h128 = 39.7 dB @ 25.7 — at THIS clip
+    # length and step budget the segmented mode TIES the per-chunk
+    # frontier rather than beating it (per-chunk fp16 h128 0.25 s
+    # interpolates to ~40 dB at 26 bps); its advantage needs longer clips
+    # where the backbone amortises.
+    ("mod_seg1_h96_i16", 31.4, dict(_MOD_RD_CAL, hidden_features=96,
                                     segment_s=1.0, quantize_mods="int16")),
-    ("mod_seg1_h128_i16", None, dict(_MOD_RD_CAL, hidden_features=128,
+    ("mod_seg1_h128_i16", 39.7, dict(_MOD_RD_CAL, hidden_features=128,
                                      segment_s=1.0, quantize_mods="int16")),
 )
 

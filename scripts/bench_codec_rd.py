@@ -69,6 +69,12 @@ POINTS = {
     # +2.8 dB over fp16 at equal size on a 115.6 dB fit) — recalibrate
     # the fp16 hi-fi points at the new tier:
     "int16_h48": dict(BASE, quantize="int16"),
+    # post-INRA re-measures of the two remaining stale _RD_POINTS rows
+    "int8_h128_025": dict(BASE, chunk_seconds=0.25, hidden_features=128,
+                          quantize="int8"),
+    "fp16_h128_01": dict(BASE, chunk_seconds=0.1, hidden_features=128,
+                         first_omega_0=1000.0, learning_rate=1e-3,
+                         quantize="float16"),
     "int16_h128_025": dict(BASE, chunk_seconds=0.25, hidden_features=128,
                            quantize="int16"),
     "fp16_h128_025": dict(BASE, chunk_seconds=0.25, hidden_features=128,

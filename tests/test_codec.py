@@ -868,3 +868,22 @@ def test_plan_for_bitrate_selects_modulated_when_calibrated():
     base = CodecConfig(fused=True, seed=3)
     kind, cfg = plan_for_bitrate(2.2, n, fs, base=base, _mod_points=pricey)
     assert cfg.fused and cfg.seed == 3
+
+
+def test_plan_for_bitrate_default_table_mid_rate_is_modulated():
+    """With the r4 TPU calibrations stamped into _MOD_RD_POINTS, the
+    DEFAULT tables must route a mid-rate target on a 7 s 44.1 kHz clip to
+    the segmented-int16 modulated codec: at ~26-50 bps the calibrated
+    mod_seg1_h128_i16 point (39.7 dB @ ~25.7 bps) dominates the best
+    fitting per-chunk point (fp16 h48, 32.1 dB @ 6.91 bps); by 90+ bps the
+    per-chunk fp16 h128 point (56.7 dB) takes over again."""
+    from inraudio_tpu.codec import ModulatedCodecConfig, plan_for_bitrate
+
+    n, fs = 308207, 44100  # gt_bach.wav shape, the calibration clip
+    kind, cfg = plan_for_bitrate(30.0, n, fs)
+    assert kind == "modulated" and isinstance(cfg, ModulatedCodecConfig)
+    assert cfg.hidden_features == 128 and cfg.segment_s == 1.0
+    assert cfg.quantize_mods == "int16"
+
+    kind, _cfg = plan_for_bitrate(120.0, n, fs)
+    assert kind == "per_chunk"
