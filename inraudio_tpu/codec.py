@@ -156,11 +156,16 @@ _MOD_RD_CAL = dict(chunk_seconds=0.05, overlap_fraction=0.1,
                    first_omega_0=500.0, learning_rate=1e-3,
                    mods_lr_mult=5.0)
 _MOD_RD_POINTS: tuple[tuple[str, float | None, dict[str, Any]], ...] = (
-    # low-rate: whole-clip backbone, int8 mods + QA backbone refit
-    ("mod_h48_i8", None, dict(_MOD_RD_CAL, hidden_features=48,
+    # low-rate: whole-clip backbone, int8 mods + QA backbone refit.
+    # r4 TPU calibration (bench_logs_r4/20_mod_table_lowrate.log, 3000
+    # steps, gt_bach 7 s): h48 = 15.4 dB @ 1.44 disk bps — the only
+    # operating point below the per-chunk frontier's 1.88 bps floor
+    # (ultra-low-rate targets land here); h64 = 19.1 dB @ 2.08 bps, which
+    # per-chunk h32+refit (19.2 @ 1.88) narrowly dominates.
+    ("mod_h48_i8", 15.4, dict(_MOD_RD_CAL, hidden_features=48,
                               quantize_mods="int8",
                               refit_backbone_steps=400)),
-    ("mod_h64_i8", None, dict(_MOD_RD_CAL, hidden_features=64,
+    ("mod_h64_i8", 19.1, dict(_MOD_RD_CAL, hidden_features=64,
                               quantize_mods="int8",
                               refit_backbone_steps=400)),
     # mid/hi-fi: 1 s segmented backbones, int16 mods (the tier that

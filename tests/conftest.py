@@ -23,6 +23,9 @@ jax.config.update("jax_enable_x64", True)  # float64 for DSP-parity tests; libra
 # 2.5 s compile replays in 0.6 s from a second process).  Test-suite wall
 # time is compile-dominated, so warm `-m fast` runs drop well under the
 # cold time; the cache is keyed on jaxpr+flags, safe across edits.
+# Measured r4 on this 1-core host: cold fast gate 10:00, warm 4:59
+# (185 tests) — the <=6 min gate target holds once .jax_cache_tests is
+# populated (first run after a clean clone pays the cold time once).
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache_tests"))

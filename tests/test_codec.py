@@ -887,3 +887,10 @@ def test_plan_for_bitrate_default_table_mid_rate_is_modulated():
 
     kind, _cfg = plan_for_bitrate(120.0, n, fs)
     assert kind == "per_chunk"
+
+    # ultra-low rate: below the per-chunk frontier's 1.88 bps floor the
+    # whole-clip-backbone int8 point (15.4 dB @ ~1.4 bps) is the only
+    # candidate that fits
+    kind, cfg = plan_for_bitrate(1.5, n, fs)
+    assert kind == "modulated" and cfg.hidden_features == 48
+    assert cfg.refit_backbone_steps == 400
