@@ -87,6 +87,20 @@ def _f32_dot_mode() -> str:
     return os.environ.get("INRAUDIO_F32_PRECISION", "bf16x3")
 
 
+def _grad_dot_mode() -> str | None:
+    """Optional separate f32 precision for the BACKWARD (dgrad/wgrad)
+    matmuls in the fused training kernels (INRAUDIO_GRAD_PRECISION;
+    None = inherit INRAUDIO_F32_PRECISION).  Rationale: forward rounding
+    BIASES the converged solution (bf16x2 everywhere caps the headline at
+    67.7 dB, BASELINE.md r4 A/B), while gradient rounding is zero-mean
+    noise Adam's moment averaging absorbs — so 'bf16x2' here drops 2 of
+    the 9 MXU passes per hidden layer per step with (measured) no SNR
+    cost at the headline.  Kernel-path lever only; the XLA fallback keeps
+    uniform precision."""
+    import os
+    return os.environ.get("INRAUDIO_GRAD_PRECISION") or None
+
+
 def _kernel_dot(x, w, dims, compute_dtype, mode: str | None = None):
     """dot_general for the kernels with explicit f32 precision handling.
 

@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.siren import SirenSnakeTanhConfig
 from .pallas_siren import (_MAX_SMALL_IN, _fast_cos, _fast_sin,
-                           _flatten_params, _fused_apply_jit, _kernel_dot,
+                           _flatten_params, _fused_apply_jit,
+                           _grad_dot_mode, _kernel_dot,
                            _pick_block_rows, _prep_rff_bt,
                            _rff_features_in_kernel, _round_up)
 
@@ -98,6 +99,7 @@ def _bwd_sweep(g, saved, kinds, omegas, param_refs, grad_refs,
     # walk layers in reverse, tracking ref index per layer
     slots = _layer_param_slots(kinds)
     starts = np.cumsum([0] + slots[:-1]).tolist()
+    gmode = _grad_dot_mode()  # optional cheaper precision for grad matmuls
     for li in range(len(kinds) - 1, -1, -1):
         kind = kinds[li]
         x_in, pre, a = saved[li]
@@ -125,14 +127,16 @@ def _bwd_sweep(g, saved, kinds, omegas, param_refs, grad_refs,
         if li == 0 and rff_features:
             cv, sv = x_in  # recomputed in-VMEM encoding (B is fixed: no dB)
             gw_ref[...] += jnp.concatenate(
-                [_kernel_dot(cv, gpre, dims_t, compute_dtype),
-                 _kernel_dot(sv, gpre, dims_t, compute_dtype)], axis=0)
+                [_kernel_dot(cv, gpre, dims_t, compute_dtype, mode=gmode),
+                 _kernel_dot(sv, gpre, dims_t, compute_dtype, mode=gmode)],
+                axis=0)
         else:
-            gw_ref[...] += _kernel_dot(x_in, gpre, dims_t, compute_dtype)
+            gw_ref[...] += _kernel_dot(x_in, gpre, dims_t, compute_dtype,
+                                       mode=gmode)
         gb_ref[...] += jnp.sum(gpre, axis=0, keepdims=True)
         if li > 0:
             g = _kernel_dot(gpre, w_ref[:], (((1,), (1,)), ((), ())),
-                            compute_dtype)
+                            compute_dtype, mode=gmode)
 
 
 def _bwd_kernel(coords_ref, g_ref, *refs, kinds, omegas, in_features,

@@ -144,3 +144,44 @@ def test_multi_tile_gradient_accumulation():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
+
+
+def test_grad_precision_env_loosens_grads_only(monkeypatch):
+    """INRAUDIO_GRAD_PRECISION=bf16x2 must change ONLY the backward matmuls:
+    the forward loss stays bit-identical to the default, gradients move by
+    a small bf16x2-scale amount but stay directionally equal to the exact
+    reference gradients."""
+    cfg = SirenSnakeTanhConfig(first_omega_0=30.0, hidden_features=128,
+                               num_sine=1, num_snake=1)
+    model = build_model("mlp", cfg)
+    params = model.init(KEY)
+    coords = jax.random.uniform(KEY, (256, 1), jnp.float32, -1.0, 1.0)
+    targets = jax.random.uniform(jax.random.PRNGKey(5), (256, 1),
+                                 jnp.float32, -1.0, 1.0)
+
+    def loss_fused(p):
+        out = fused_siren_train_apply(p, cfg, coords, block_rows=128,
+                                      interpret=True)
+        return jnp.mean((out - targets) ** 2)
+
+    l_hi, g_hi = jax.value_and_grad(loss_fused)(params)
+    monkeypatch.setenv("INRAUDIO_GRAD_PRECISION", "bf16x2")
+    jax.clear_caches()  # the mode is read at trace time
+    l_lo, g_lo = jax.value_and_grad(loss_fused)(params)
+    monkeypatch.delenv("INRAUDIO_GRAD_PRECISION")
+    jax.clear_caches()
+
+    assert float(l_hi) == float(l_lo)  # forward untouched
+    hi = jax.tree_util.tree_leaves(g_hi)
+    lo = jax.tree_util.tree_leaves(g_lo)
+    moved = 0.0
+    for a, b in zip(hi, lo):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        rel = float(jnp.max(jnp.abs(a - b))) / scale
+        assert rel < 3e-2, rel          # bf16x2-scale perturbation only
+        moved = max(moved, rel)
+        # directionally equal: cosine similarity of the grad leaves
+        num = float(jnp.sum(a * b))
+        den = float(jnp.linalg.norm(a) * jnp.linalg.norm(b)) + 1e-30
+        assert num / den > 0.999
+    assert moved > 1e-7  # the env actually took effect
