@@ -131,6 +131,11 @@ def main(argv=None) -> int:
                      help="encode every channel of a multichannel file "
                           "(one stacked chunk population, single launch); "
                           "default keeps channel 0 like the reference")
+    enc.add_argument("--plateau-patience", type=int, default=None,
+                     help="ReduceLROnPlateau patience in steps (default: "
+                          "per-chunk codec 35 — the fast decay every "
+                          "recipe-scan quality number used; modulated "
+                          "codec 200, matching its calibration table)")
     enc.add_argument("--modulated", action="store_true",
                      help="shared-backbone codec mode: ONE network for the "
                           "whole clip + a tiny per-chunk modulation vector "
@@ -251,7 +256,9 @@ def main(argv=None) -> int:
                 segment_s=args.segment_s,
                 # --refit-steps means the quantization-aware refit in both
                 # modes: float leaves there, the backbone here
-                refit_backbone_steps=args.refit_steps))
+                refit_backbone_steps=args.refit_steps,
+                **({"plateau_patience": args.plateau_patience}
+                   if args.plateau_patience is not None else {})))
         else:
             cfg = CodecConfig(
                 chunk_seconds=args.chunk_s, overlap_fraction=args.overlap,
@@ -261,7 +268,9 @@ def main(argv=None) -> int:
                 quantize=None if args.quantize == "none" else args.quantize,
                 per_row_scales=args.per_row_scales,
                 fused=args.fused, refit_steps=args.refit_steps,
-                max_chunks_per_batch=args.max_chunks or None)
+                max_chunks_per_batch=args.max_chunks or None,
+                **({"plateau_patience": args.plateau_patience}
+                   if args.plateau_patience is not None else {}))
             if args.target_bps is not None:
                 # cross-family planning: the modulated mode dominates parts
                 # of the frontier once the backbone amortises over the clip

@@ -60,6 +60,15 @@ class CodecConfig:
     learning_rate: float = 7e-4   # matches the 0.25 s recipe scans
     grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
+    # Plateau LR decay (ReduceLROnPlateau, reference run.py:171).  Every
+    # recipe-scan quality number (BASELINE.md "Recipe-scan history") was
+    # measured with FAST decay — the multi-INR chunk population needs the
+    # lr to anneal before the per-chunk MSE can descend past ~60 dB; the
+    # r4 A/B at the hi-fi point (0.1 s / omega 1000 / lr 1e-3 / 3000
+    # steps) measured patience 200 -> 60.0 dB vs patience 35 -> see
+    # BASELINE.md hi-fi row.
+    plateau_patience: int = 35
+    plateau_factor: float = 0.8
     quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int16 | int4
     # int modes: one scale per (chunk, output unit) instead of per chunk —
     # k*h extra float32 scales for a much tighter grid (int4 needs this to
@@ -477,7 +486,9 @@ def encode(signal: np.ndarray, sample_rate: int,
         model, chans, sample_rate, mcfg,
         TrainConfig(total_steps=cfg.total_steps,
                     learning_rate=cfg.learning_rate,
-                    grad_clip_norm=cfg.grad_clip_norm),
+                    grad_clip_norm=cfg.grad_clip_norm,
+                    plateau_patience=cfg.plateau_patience,
+                    plateau_factor=cfg.plateau_factor),
         key=jax.random.PRNGKey(cfg.seed),
         max_chunks_per_batch=cfg.max_chunks_per_batch)
     res = results[0]
@@ -605,6 +616,11 @@ class ModulatedCodecConfig:
     learning_rate: float = 1e-3
     grad_clip_norm: float = 1.0
     total_steps: int = 3000
+    # Plateau decay knobs (see CodecConfig).  The _MOD_POINTS calibration
+    # table was measured at the loop default (200); keep that default here
+    # until a recalibration sweep says otherwise.
+    plateau_patience: int = 200
+    plateau_factor: float = 0.8
     # None | float16 | int8 | int16 | auto.  int8/int16 use per-COLUMN
     # scales (each mod feature has coherent statistics across chunks:
     # +3 dB over per-chunk rows, scripts/probe_mod_quant.py).  int16 is
@@ -734,7 +750,9 @@ def encode_modulated(signal: np.ndarray, sample_rate: int,
         hidden_omega_0=cfg.hidden_omega_0)
     tc = TrainConfig(total_steps=cfg.total_steps,
                      learning_rate=cfg.learning_rate,
-                     grad_clip_norm=cfg.grad_clip_norm)
+                     grad_clip_norm=cfg.grad_clip_norm,
+                     plateau_patience=cfg.plateau_patience,
+                     plateau_factor=cfg.plateau_factor)
     coords = np.asarray(get_coord(n, dim=1))
     k = per_ch[0][0].shape[0]
     c = len(chans)
