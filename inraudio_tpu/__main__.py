@@ -132,10 +132,10 @@ def main(argv=None) -> int:
                           "(one stacked chunk population, single launch); "
                           "default keeps channel 0 like the reference")
     enc.add_argument("--plateau-patience", type=int, default=None,
-                     help="ReduceLROnPlateau patience in steps (default: "
-                          "per-chunk codec 35 — the fast decay every "
-                          "recipe-scan quality number used; modulated "
-                          "codec 200, matching its calibration table)")
+                     help="ReduceLROnPlateau patience in steps (default "
+                          "200 for both codec families; the r4 A/B found "
+                          "fast decay (35) never beats it at any RD "
+                          "operating point)")
     enc.add_argument("--modulated", action="store_true",
                      help="shared-backbone codec mode: ONE network for the "
                           "whole clip + a tiny per-chunk modulation vector "

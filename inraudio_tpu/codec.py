@@ -60,14 +60,14 @@ class CodecConfig:
     learning_rate: float = 7e-4   # matches the 0.25 s recipe scans
     grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
-    # Plateau LR decay (ReduceLROnPlateau, reference run.py:171).  Every
-    # recipe-scan quality number (BASELINE.md "Recipe-scan history") was
-    # measured with FAST decay — the multi-INR chunk population needs the
-    # lr to anneal before the per-chunk MSE can descend past ~60 dB; the
-    # r4 A/B at the hi-fi point (0.1 s / omega 1000 / lr 1e-3 / 3000
-    # steps) measured patience 200 -> 60.0 dB vs patience 35 -> see
-    # BASELINE.md hi-fi row.
-    plateau_patience: int = 35
+    # Plateau LR decay (ReduceLROnPlateau, reference run.py:171).  The r4
+    # patience A/B (scripts/probe_patience.py, bench_logs_r4/
+    # 50_patience_ab.log) measured fast decay (35, the bench headline
+    # setting) against the loop default (200) at five RD operating
+    # points: 35 never wins (hi-fi fit 58.4 vs 60.0 dB, mid 55.0 vs
+    # 56.7, deep 24.9 vs 25.6) — the codec keeps 200 and the knob stays
+    # exposed for recipe experiments.
+    plateau_patience: int = 200
     plateau_factor: float = 0.8
     quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int16 | int4
     # int modes: one scale per (chunk, output unit) instead of per chunk —

@@ -93,7 +93,9 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
                     else "siren_snake_tanh_fused")
 
             def _decode(p, c, fit_snr_db, _cfg=cfg, _rff=rff_b):
-                kw = auto_decode_kwargs(fit_snr_db)
+                kw = auto_decode_kwargs(
+                    fit_snr_db,
+                    first_omega_0=getattr(_cfg, "first_omega_0", None))
                 return fused_siren_apply(p, _cfg, c, interpret=interpret,
                                          rff_b=_rff, **kw)
 

@@ -88,17 +88,22 @@ def _f32_dot_mode() -> str:
 
 
 def _grad_dot_mode() -> str | None:
-    """Optional separate f32 precision for the BACKWARD (dgrad/wgrad)
-    matmuls in the fused training kernels (INRAUDIO_GRAD_PRECISION;
-    None = inherit INRAUDIO_F32_PRECISION).  Rationale: forward rounding
-    BIASES the converged solution (bf16x2 everywhere caps the headline at
-    67.7 dB, BASELINE.md r4 A/B), while gradient rounding is zero-mean
-    noise Adam's moment averaging absorbs — so 'bf16x2' here drops 2 of
-    the 9 MXU passes per hidden layer per step with (measured) no SNR
-    cost at the headline.  Kernel-path lever only; the XLA fallback keeps
-    uniform precision."""
+    """Separate f32 precision for the BACKWARD (dgrad/wgrad) matmuls in
+    the fused training kernels (INRAUDIO_GRAD_PRECISION; 'inherit' =
+    use INRAUDIO_F32_PRECISION).  Rationale: forward rounding BIASES the
+    converged solution (bf16x2 everywhere caps the headline at 67.7 dB,
+    BASELINE.md r4 A/B), while gradient rounding is zero-mean noise
+    Adam's moment averaging absorbs — so 'bf16x2' drops 2 of the 9 MXU
+    passes per hidden layer per step.  Default flipped to bf16x2 in r4
+    after it won BOTH production shapes at equal quality: h=128
+    multi-INR headline 166 -> 196 steps/s at an identical 125.70 dB
+    (bench_logs_r4/30_gradx2.log), h=256 full-batch 75.3 -> 90.4 steps/s
+    and 11.5 -> 15.8 dB at the same strict 30 s budget
+    (41_full256_gradx2.log).  Kernel-path lever only; the XLA fallback
+    keeps uniform precision."""
     import os
-    return os.environ.get("INRAUDIO_GRAD_PRECISION") or None
+    mode = os.environ.get("INRAUDIO_GRAD_PRECISION", "bf16x2")
+    return None if mode in ("", "inherit") else mode
 
 
 def _kernel_dot(x, w, dims, compute_dtype, mode: str | None = None):
@@ -480,13 +485,28 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
 # floors).  Trained-model floors are LOWER than random-param ones (trained
 # activations are larger), so these are the binding numbers:
 #   bf16 matmuls + deg-7 sin  : ~43 dB   (102 Msamples/s at h=256, 1M rows)
-#   f32 bf16x3 + deg-7 + mixed: ~50 dB   ( 82 Msamples/s)
+#   f32 bf16x2 + deg-7 + mixed: ~50 dB   ( 97 Msamples/s; r4 swap — equal
+#       60.5 dB random floor and a no-worse TRAINED floor (43.8 vs
+#       bf16x3's 42.9, bench_logs_r4/40_trained_floor.log) at 1.16x the
+#       throughput of bf16x3+mixed (23_tune256_x2.log))
 #   f32 + deg-9 polynomial    : ~90 dB
 #   f32 + deg-11 polynomial   : ~120 dB  (the 124.9 dB headline decodes here)
+#
+# HIGH-PHASE REGIME (r4, 40_trained_floor.log): the floors above hold for
+# moderate first-layer phases (multi-INR omega0 ~115).  On the reference's
+# wave default (omega0=22000, h=256) EVERY approx-sin tier floors at
+# 43-49 dB — sin(omega*(Wx+b)) phase error scales with the argument, so
+# range reduction, not polynomial degree, binds (deg-9 measured 43.0 on
+# that checkpoint, not ~90).  auto_decode_kwargs therefore treats every
+# approx tier's floor as min(table, ~43 dB) once omega0 is in the
+# high-phase regime.  Such models also FIT at ~33 dB, so the gate still
+# lands on a fast tier (drop <=0.1 dB measured); the cap only matters for
+# hypothetical high-omega high-fit models, which fall to exact-sin.
 _DECODE_TIERS = (
     (43.0, dict(approx_sin=True, sin_poly_degree=7,
                 compute_dtype="bfloat16")),
-    (50.0, dict(approx_sin=True, sin_poly_degree=7, mixed_matmul=True)),
+    (50.0, dict(approx_sin=True, sin_poly_degree=7, mixed_matmul=True,
+                f32_mode="bf16x2")),
     (90.0, dict(approx_sin=True, sin_poly_degree=9)),
     # the 124.5 dB headline decodes through deg-11 with NO measurable drop
     # (BENCH_r03: decode SNR == fit SNR to 0.01 dB), so its trained floor
@@ -494,9 +514,17 @@ _DECODE_TIERS = (
     (134.0, dict(approx_sin=True, sin_poly_degree=11)),
 )
 
+# Above this first-layer omega0 the measured high-phase floors (43-49 dB)
+# replace the table's: the probe point is omega0=22000; the headline point
+# (115) shows full table floors.  The crossover is untested between, so
+# gate conservatively from 1000 up.
+_HIGH_PHASE_OMEGA = 1000.0
+_HIGH_PHASE_FLOOR = 43.0
+
 
 def auto_decode_kwargs(fit_snr_db: float,
-                       margin_db: float = 9.0) -> dict[str, Any]:
+                       margin_db: float = 9.0,
+                       first_omega_0: float | None = None) -> dict[str, Any]:
     """Quality-gated decode configuration for ``fused_siren_apply``.
 
     Picks the FASTEST fused-decode tier whose measured noise floor sits at
@@ -509,9 +537,19 @@ def auto_decode_kwargs(fit_snr_db: float,
     through to the
     exact-sin path.  ``compute_dtype`` is returned as a string for easy
     jit-static use; resolve with ``jnp.dtype`` if needed.
+
+    ``first_omega_0``: when known, models in the high-phase regime
+    (omega0 >= 1000) use the measured high-phase floors — range
+    reduction binds every approx tier near ~43 dB there (r4 probe on the
+    reference-default omega0=22000 checkpoint), so a high-omega model
+    whose fit clears the cap decodes exact-sin.
     """
     need = fit_snr_db + margin_db
+    high_phase = (first_omega_0 is not None
+                  and first_omega_0 >= _HIGH_PHASE_OMEGA)
     for floor, kw in _DECODE_TIERS:
+        if high_phase:
+            floor = min(floor, _HIGH_PHASE_FLOOR)
         if need <= floor:
             kw = dict(kw)
             if kw.get("compute_dtype") == "bfloat16":

@@ -278,9 +278,22 @@ def test_auto_decode_kwargs_tiers():
     assert auto_decode_kwargs(33.6)["compute_dtype"] == jnp.bfloat16
     kw = auto_decode_kwargs(39.0)
     assert kw.get("mixed_matmul") and kw["sin_poly_degree"] == 7
+    # r4 tier-2 swap: bf16x2 matmuls at the same measured floors, 1.16x
+    # the throughput (bench_logs_r4/40_trained_floor.log, 23_tune256_x2)
+    assert kw.get("f32_mode") == "bf16x2"
     assert auto_decode_kwargs(60.0)["sin_poly_degree"] == 9
     assert auto_decode_kwargs(124.9)["sin_poly_degree"] == 11
     assert auto_decode_kwargs(130.0) == {"approx_sin": False}
+    # high-phase regime (omega0 >= 1000): range reduction caps every
+    # approx tier near ~43 dB — the reference-default 33.6 dB fit still
+    # lands on the fast bf16 tier, but a higher fit goes exact-sin
+    hp = auto_decode_kwargs(33.6, first_omega_0=22000.0)
+    assert hp["compute_dtype"] == jnp.bfloat16
+    assert auto_decode_kwargs(39.0, first_omega_0=22000.0) == {
+        "approx_sin": False}
+    # moderate omega keeps the full ladder
+    assert auto_decode_kwargs(39.0, first_omega_0=115.0).get(
+        "mixed_matmul")
 
 
 def test_decode_dense_quality_gate_routes_through_tier():

@@ -23,6 +23,17 @@ CFG = SirenSnakeTanhConfig(in_features=1, hidden_features=64,
                            first_omega_0=300.0, num_sine=1, num_snake=1)
 
 
+@pytest.fixture(autouse=True)
+def _uniform_grad_precision(monkeypatch):
+    """These are EXACTNESS A/Bs against f32 autodiff: pin the backward
+    matmuls to the forward precision (the r4 production default is the
+    looser bf16x2 — test_pallas_train covers that mode's contract)."""
+    monkeypatch.setenv("INRAUDIO_GRAD_PRECISION", "inherit")
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
 def _problem(n=700):
     coords = np.linspace(-1, 1, n, dtype=np.float32).reshape(-1, 1)
     targets = np.sin(2 * np.pi * 4 * coords).astype(np.float32)

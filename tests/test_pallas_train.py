@@ -164,9 +164,13 @@ def test_grad_precision_env_loosens_grads_only(monkeypatch):
                                       interpret=True)
         return jnp.mean((out - targets) ** 2)
 
+    # 'inherit' restores the pre-r4 uniform precision (the default is now
+    # bf16x2 after it won both production-shape A/Bs)
+    monkeypatch.setenv("INRAUDIO_GRAD_PRECISION", "inherit")
+    jax.clear_caches()  # the mode is read at trace time
     l_hi, g_hi = jax.value_and_grad(loss_fused)(params)
     monkeypatch.setenv("INRAUDIO_GRAD_PRECISION", "bf16x2")
-    jax.clear_caches()  # the mode is read at trace time
+    jax.clear_caches()
     l_lo, g_lo = jax.value_and_grad(loss_fused)(params)
     monkeypatch.delenv("INRAUDIO_GRAD_PRECISION")
     jax.clear_caches()
