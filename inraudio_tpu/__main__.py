@@ -309,12 +309,14 @@ def main(argv=None) -> int:
         if args.start is not None:
             if args.upsample != 1:
                 ap.error("--start/--stop do not compose with --upsample")
+            # --fused forces the kernel path; omitted = auto (kernel when
+            # the payload was fused-trained and a TPU is present)
             fs, rec = decode_range(load_inr(args.input), args.start,
-                                   args.stop, fused=args.fused,
+                                   args.stop, fused=args.fused or None,
                                    max_chunks_per_batch=args.max_chunks
                                    or None)
         else:
-            fs, rec = _dec(load_inr(args.input), fused=args.fused,
+            fs, rec = _dec(load_inr(args.input), fused=args.fused or None,
                            upsample=args.upsample,
                            max_chunks_per_batch=args.max_chunks or None)
         write_wav(args.output, fs, rec)

@@ -518,6 +518,20 @@ def encode(signal: np.ndarray, sample_rate: int,
     else:
         stored = params
 
+    # Estimate the fit SNR from the per-chunk best train losses (the best
+    # snapshot is what ships): unnormalized mse = best_loss * scale^2.
+    # Stored in the header so decode can pick a quality-gated fused tier
+    # without touching the audio.
+    best_mses = np.concatenate(
+        [np.min(np.asarray(r.loss_history), axis=0)[: r.num_chunks]
+         for r in results]) if results[0].loss_history.size else None
+    fit_snr = None
+    if best_mses is not None and best_mses.shape == scales.shape:
+        pw = float(np.mean(np.concatenate(
+            [np.asarray(c, np.float32).reshape(-1) ** 2 for c in chans])))
+        mse = float(np.mean(best_mses * scales.astype(np.float64) ** 2))
+        fit_snr = round(10.0 * np.log10(max(pw, 1e-30) / max(mse, 1e-30)), 2)
+
     meta = {
         "format": _FORMAT,
         "sample_rate": int(sample_rate),
@@ -529,6 +543,11 @@ def encode(signal: np.ndarray, sample_rate: int,
         "quantize": cfg.quantize,
         "per_row_scales": bool(cfg.per_row_scales),
         "side_quantized": bool(cfg.quantize and cfg.side_quantize),
+        # decode-side routing: which forward semantics trained the params
+        # (the fused kernel's bf16x3 matmuls + polynomial sin, or the XLA
+        # exact apply) and the estimated fit SNR for the decode-tier gate
+        "trained_forward": "fused_approx" if cfg.fused else "exact",
+        **({"fit_snr_db": fit_snr} if fit_snr is not None else {}),
         "model": {
             "hidden_features": cfg.hidden_features,
             "num_sine": cfg.num_sine, "num_snake": cfg.num_snake,
@@ -540,10 +559,14 @@ def encode(signal: np.ndarray, sample_rate: int,
             "params": stored}
 
 
-def decode(payload: dict[str, Any], fused: bool = False,
+def decode(payload: dict[str, Any], fused: bool | None = None,
            upsample: int = 1,
            max_chunks_per_batch: int | None = None) -> tuple[int, np.ndarray]:
     """Payload -> (sample_rate, waveform). Inverse of ``encode``.
+
+    ``fused=None`` (auto) decodes fused-trained payloads through the
+    Pallas kernel on TPU, quality-gated by the header's ``fit_snr_db``
+    (auto_decode_kwargs tier); pass True/False to force a path.
 
     ``upsample`` > 1 evaluates every chunk's INR on a grid that many times
     denser — bandwidth-extension decode straight from the compressed
@@ -561,7 +584,11 @@ def decode(payload: dict[str, Any], fused: bool = False,
                                max_chunks_per_batch)
     meta, model, params = _payload_model_params(payload, fused)
     coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
-    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    fit = meta.get("fit_snr_db")
+    if model.decode_apply is not None and fit is not None:
+        fn = jax.jit(jax.vmap(lambda p: model.decode_apply(p, coords, fit)))
+    else:
+        fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     return _stitch_payload(payload, fn, params, upsample,
                            max_chunks_per_batch)
 
@@ -919,11 +946,23 @@ def _check_format(meta: dict[str, Any]) -> None:
             "quantization, must be re-encoded from the source audio)")
 
 
-def _payload_model_params(payload: dict[str, Any], fused: bool):
+def _payload_model_params(payload: dict[str, Any], fused: bool | None):
     """Validate the payload header and rebuild (meta, model, device params)
-    — shared by ``decode`` and ``decode_range``."""
+    — shared by ``decode`` and ``decode_range``.
+
+    ``fused=None`` = auto: decode through the fused Pallas kernel when the
+    payload was TRAINED under it (``trained_forward == 'fused_approx'``)
+    and a non-CPU backend is available — the kernel path is both the
+    faster and the semantics-matched decode.  On CPU (or for legacy/XLA-
+    trained payloads) the exact XLA apply is used; its hidden-layer
+    matmuls run at 'high' (bf16x3) precision on TPU since the r4 bisect
+    showed the one-pass bf16 default capping a trained omega0=1000
+    reconstruction at 58.5 dB vs 83.2 (models/siren.py)."""
     meta = payload["meta"]
     _check_format(meta)
+    if fused is None:
+        fused = (meta.get("trained_forward") == "fused_approx"
+                 and jax.default_backend() != "cpu")
     model = build_model("mlp", _model_cfg_from_meta(meta), fused=fused,
                         approx_sin=fused)
     params = payload["params"]
@@ -933,7 +972,7 @@ def _payload_model_params(payload: dict[str, Any], fused: bool):
 
 
 def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
-                 fused: bool = False,
+                 fused: bool | None = None,
                  max_chunks_per_batch: int | None = None
                  ) -> tuple[int, np.ndarray]:
     """Random-access decode of ``[start_s, stop_s)`` seconds straight from
@@ -954,7 +993,12 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
     else:
         meta, model, params = _payload_model_params(payload, fused)
         coords = _decode_grid(meta["chunk_length"], 1)
-        fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+        fit = meta.get("fit_snr_db")
+        if model.decode_apply is not None and fit is not None:
+            fn = jax.jit(jax.vmap(
+                lambda p: model.decode_apply(p, coords, fit)))
+        else:
+            fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     sr = meta["sample_rate"]
     n0 = meta["chunk_length"]
     c = int(meta.get("num_channels", 1))

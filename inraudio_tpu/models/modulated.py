@@ -82,14 +82,18 @@ def modulated_apply(shared: Params, cfg: SirenSnakeTanhConfig,
                                                    precision="highest")
             x = jnp.sin(filmed(pre))
         elif kind == "sine":
-            pre = cfg.hidden_omega_0 * linear_apply(p, x)
+            # 'high' = bf16x3 on TPU, no-op elsewhere: the one-pass bf16
+            # default under sin's omega amplification caps trained
+            # reconstructions ~25 dB short (r4 bisect, siren.py)
+            pre = cfg.hidden_omega_0 * linear_apply(p, x, precision="high")
             x = jnp.sin(pre if last else filmed(pre))
         elif kind == "linear_snake":
-            x = snake_apply(p["snake_a"], filmed(linear_apply(p, x)))
+            x = snake_apply(p["snake_a"],
+                            filmed(linear_apply(p, x, precision="high")))
         elif kind == "linear_tanh":
-            x = jnp.tanh(filmed(linear_apply(p, x)))
+            x = jnp.tanh(filmed(linear_apply(p, x, precision="high")))
         elif kind == "linear_last":
-            x = linear_apply(p, x)
+            x = linear_apply(p, x, precision="high")
         else:  # pragma: no cover
             raise ValueError(kind)
     return x

@@ -162,14 +162,18 @@ def siren_init(key: jax.Array, cfg: SirenConfig) -> Params:
 
 def siren_apply(params: Params, cfg: SirenConfig, coords: jax.Array,
                 compute_dtype=jnp.float32) -> jax.Array:
+    # 'high' = bf16x3 on TPU (no-op on CPU/GPU): see siren_snake_tanh_apply
+    # — a one-pass bf16 default matmul under sin's omega amplification
+    # caps trained reconstructions ~25 dB short (r4 bisect).
+    prec = "high" if compute_dtype == jnp.float32 else None
     x = sine_layer_apply(params["layers"][0], coords.astype(jnp.float32),
                          cfg.first_omega_0, precision="highest")
     for p in params["layers"][1:-1]:
-        x = sine_layer_apply(p, x, cfg.hidden_omega_0, compute_dtype)
+        x = sine_layer_apply(p, x, cfg.hidden_omega_0, compute_dtype, prec)
     last = params["layers"][-1]
     if cfg.outermost_linear:
-        return linear_apply(last, x, compute_dtype)
-    return sine_layer_apply(last, x, cfg.hidden_omega_0, compute_dtype)
+        return linear_apply(last, x, compute_dtype, prec)
+    return sine_layer_apply(last, x, cfg.hidden_omega_0, compute_dtype, prec)
 
 
 def siren_activations(params: Params, cfg: SirenConfig,
@@ -279,6 +283,16 @@ def siren_snake_tanh_init(key: jax.Array, cfg: SirenSnakeTanhConfig) -> Params:
 def siren_snake_tanh_apply(params: Params, cfg: SirenSnakeTanhConfig,
                            coords: jax.Array,
                            compute_dtype=jnp.float32) -> jax.Array:
+    # Hidden-layer matmul precision: on TPU, f32 dots default to ONE
+    # bf16 MXU pass, and sin(omega * (Wx + b)) amplifies that rounding
+    # into phase error — the r4 bisect measured the default capping a
+    # trained omega0=1000 reconstruction at 58.5 dB where 'high'/'highest'
+    # (and the fused bf16x3 kernel) all reconstruct 83.2
+    # (bench_logs_r4/73_gap3.log).  'high' (3-pass bf16x3) matches the
+    # fused kernels' semantics class at half the cost of 'highest'; on
+    # CPU/GPU it is a no-op (true f32 dots).  compute_dtype=bf16 callers
+    # asked for speed and keep the single pass.
+    prec = "high" if compute_dtype == jnp.float32 else None
     kinds = cfg.layer_kinds
     x = coords.astype(jnp.float32)
     for i, (kind, p) in enumerate(zip(kinds, params["layers"])):
@@ -290,13 +304,13 @@ def siren_snake_tanh_apply(params: Params, cfg: SirenSnakeTanhConfig,
         elif kind == "scaled_sine_first":
             x = scaled_sine_layer_apply(p, x, jnp.float32)
         elif kind == "sine":
-            x = sine_layer_apply(p, x, cfg.hidden_omega_0, dtype)
+            x = sine_layer_apply(p, x, cfg.hidden_omega_0, dtype, prec)
         elif kind == "linear_snake":
-            x = snake_apply(p["snake_a"], linear_apply(p, x, dtype))
+            x = snake_apply(p["snake_a"], linear_apply(p, x, dtype, prec))
         elif kind == "linear_tanh":
-            x = jnp.tanh(linear_apply(p, x, dtype))
+            x = jnp.tanh(linear_apply(p, x, dtype, prec))
         else:  # linear_last
-            x = linear_apply(p, x, dtype)
+            x = linear_apply(p, x, dtype, prec)
     return x
 
 

@@ -515,10 +515,12 @@ _DECODE_TIERS = (
 )
 
 # Above this first-layer omega0 the measured high-phase floors (43-49 dB)
-# replace the table's: the probe point is omega0=22000; the headline point
-# (115) shows full table floors.  The crossover is untested between, so
-# gate conservatively from 1000 up.
-_HIGH_PHASE_OMEGA = 1000.0
+# replace the table's.  Anchors: omega0=115 (headline) shows full table
+# floors; omega0=1000 decodes an 83.2 dB fit through deg-11 approx with
+# NO drop (bench_logs_r4/73_gap3.log — floor >= ~95 there); omega0=22000
+# floors every approx tier at 43-49 (40_trained_floor.log).  The
+# crossover is untested between 1000 and 22000, so gate from 2000 up.
+_HIGH_PHASE_OMEGA = 2000.0
 _HIGH_PHASE_FLOOR = 43.0
 
 

@@ -894,3 +894,43 @@ def test_plan_for_bitrate_default_table_mid_rate_is_modulated():
     kind, cfg = plan_for_bitrate(1.5, n, fs)
     assert kind == "modulated" and cfg.hidden_features == 48
     assert cfg.refit_backbone_steps == 400
+
+
+def test_meta_trained_forward_and_fit_snr(small_payload):
+    """r4: the header records the training forward semantics and an
+    estimated fit SNR (from per-chunk best losses) so decode can route
+    and quality-gate without touching the audio."""
+    sig, payload = small_payload
+    meta = payload["meta"]
+    assert meta["trained_forward"] == "exact"  # CPU fixture: fused=False
+    est = meta["fit_snr_db"]
+    fs, rec = decode(payload, fused=False)
+    actual = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+    # the estimator ignores crossfade stitching; a few dB of slack
+    assert abs(est - actual) < 6.0, (est, actual)
+
+
+def test_decode_auto_matches_forced_xla_on_cpu(small_payload):
+    """fused=None (auto) on a CPU backend must take the XLA path —
+    bit-identical to decode(fused=False) — for exact-trained AND for
+    (hypothetically) fused-trained payloads, since there is no chip."""
+    sig, payload = small_payload
+    _, a = decode(payload, fused=None)
+    _, b = decode(payload, fused=False)
+    np.testing.assert_array_equal(a, b)
+    fake = {**payload, "meta": {**payload["meta"],
+                                "trained_forward": "fused_approx"}}
+    _, c = decode(fake, fused=None)
+    np.testing.assert_array_equal(c, b)
+
+
+def test_legacy_payload_without_routing_keys_decodes(small_payload):
+    """Pre-r4 payloads have neither trained_forward nor fit_snr_db: auto
+    routing must fall back to the XLA apply."""
+    sig, payload = small_payload
+    meta = {k: v for k, v in payload["meta"].items()
+            if k not in ("trained_forward", "fit_snr_db")}
+    legacy = {**payload, "meta": meta}
+    _, rec = decode(legacy)
+    snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
+    assert snr > 25, snr
