@@ -133,9 +133,9 @@ def main(argv=None) -> int:
                           "default keeps channel 0 like the reference")
     enc.add_argument("--plateau-patience", type=int, default=None,
                      help="ReduceLROnPlateau patience in steps (default "
-                          "200 for both codec families; the r4 A/B found "
-                          "fast decay (35) never beats it at any RD "
-                          "operating point)")
+                          "200 for both codec families; the decode-fixed "
+                          "r4 A/B found fast decay (35) never beats it, "
+                          "while hi-fi points calibrate best near 75)")
     enc.add_argument("--modulated", action="store_true",
                      help="shared-backbone codec mode: ONE network for the "
                           "whole clip + a tiny per-chunk modulation vector "

@@ -61,12 +61,13 @@ class CodecConfig:
     grad_clip_norm: float = 1.0   # 0 = off; stops lone-chunk divergence
     total_steps: int = 3000
     # Plateau LR decay (ReduceLROnPlateau, reference run.py:171).  The r4
-    # patience A/B (scripts/probe_patience.py, bench_logs_r4/
-    # 50_patience_ab.log) measured fast decay (35, the bench headline
-    # setting) against the loop default (200) at five RD operating
-    # points: 35 never wins (hi-fi fit 58.4 vs 60.0 dB, mid 55.0 vs
-    # 56.7, deep 24.9 vs 25.6) — the codec keeps 200 and the knob stays
-    # exposed for recipe experiments.
+    # decode-fixed patience A/B (scripts/probe_patience.py,
+    # bench_logs_r4/80_patience_ab_fixed.log) measured fast decay (35,
+    # the bench headline setting) against the loop default (200) across
+    # the RD operating points: 35 never wins (mid 57.9 vs 60.0 dB, comp
+    # 30.4 vs 30.6, deep 25.0 vs 25.75; hi-fi fit 78.6 at 35 vs 84.9 at
+    # 75) — the codec keeps 200 as the default and pins per-point values
+    # in _RD_POINTS where a different patience calibrated better.
     plateau_patience: int = 200
     plateau_factor: float = 0.8
     quantize: str | None = "float16"   # None | float16 | bfloat16 | int8 | int16 | int4
@@ -75,9 +76,11 @@ class CodecConfig:
     # stay audible; see BASELINE.md rate-distortion table)
     per_row_scales: bool = False
     # Store the layers-1+ side leaves (biases, snake a) as fp16 — ~20% of
-    # an h=32 int8 payload halved for <=0.03 dB at every measured point;
-    # False ships them float32 (the pre-r3 legacy layout)
-    side_quantize: bool = True
+    # an h=32 int8 payload halved for <=0.03 dB at the <=44 dB calibration
+    # points, but -2.75 dB on a ~96 dB fit (r4 restamp) — 'auto' (default)
+    # ships fp16 sides only when the estimated fit SNR is below ~70 dB;
+    # True/False force the pre-r4 behaviors.
+    side_quantize: bool | str = "auto"
     fused: bool = False                # Pallas path (TPU only)
     seed: int = 0
     # Quantization-aware refit: after quantizing the hidden/last weight
@@ -104,30 +107,44 @@ class CodecConfig:
 _RD_CAL = dict(overlap_fraction=0.1, first_omega_0=1800.0,
                learning_rate=7e-4, per_row_scales=False, refit_steps=0)
 # (bits/sample on disk, calibrated SNR dB on gt_bach.wav, knobs)
-# r4 recalibration: all rates are INRA-container on-disk figures
-# (bench_logs_r4/09_rd.log, 10_rd_i16.log — the r2/r3 values predated the
-# container + fp16 side leaves and overstated every point's bps by 7-17%).
-# int16 weights re-measured at these fit levels: SNR-identical to fp16 but
-# 7-14% LARGER on disk (int16_h48 7.86 vs fp16 6.91 bps at 32.1 dB both),
-# so fp16 stays the table's weight tier below its ~76 dB cap.
+# r4 recalibration, post decode-fix (commit 1224932: the one-pass bf16
+# XLA decode had capped every reading near 58 dB — rows at/above the mid
+# point were understated): bench_logs_r4/80_patience_ab_fixed.log,
+# 82_hifi_ultra_cal.log, 83_restamp_old_payloads.log, 84_int16row.log.
+# All rates are INRA-container on-disk figures.  Weight-tier rules:
+# fp16 below its ~76 dB cap (int16 codes 7-14% bigger at equal SNR
+# there); int16 per-row reaches ~80.6 and is resolution-bound (per-row
+# scales and QA refit do NOT lift it — refit measured -9.5 dB at hi-fi);
+# above ~80 dB the weights ship float32.  Hi-fi/ultra points pin the
+# plateau patience that calibrated them (0.1 s chunks want 200, 0.05 s
+# want 75 — shorter chunks converge faster, so faster decay wins).
 _RD_POINTS: tuple[tuple[float, float, dict[str, Any]], ...] = (
     (1.88, 19.2, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=32,
                       quantize="int8", refit_steps=400)),
     (2.32, 22.3, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=36,
                       quantize="int8", refit_steps=400)),
-    (2.82, 25.6, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=40,
-                      quantize="int8", refit_steps=400)),
-    (3.97, 30.5, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
+    (2.82, 25.75, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=40,
+                       quantize="int8", refit_steps=400)),
+    (3.98, 30.6, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
                       quantize="int8")),
     (6.91, 32.1, dict(_RD_CAL, chunk_seconds=0.5, hidden_features=48,
                       quantize="float16")),
     (50.9, 46.3, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
                       quantize="int8")),
-    (90.2, 56.7, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
+    (90.2, 60.0, dict(_RD_CAL, chunk_seconds=0.25, hidden_features=128,
                       quantize="float16")),
-    (250.0, 80.0, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
+    (230.6, 80.0, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
                        first_omega_0=1000.0, learning_rate=1e-3,
                        quantize="float16")),
+    (268.9, 80.6, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
+                       first_omega_0=1000.0, learning_rate=1e-3,
+                       quantize="int16", per_row_scales=True)),
+    (452.9, 100.2, dict(_RD_CAL, chunk_seconds=0.1, hidden_features=128,
+                        first_omega_0=1000.0, learning_rate=1e-3,
+                        quantize=None)),
+    (903.7, 114.4, dict(_RD_CAL, chunk_seconds=0.05, hidden_features=128,
+                        first_omega_0=500.0, learning_rate=1e-3,
+                        quantize=None, plateau_patience=75)),
 )
 
 
@@ -286,6 +303,11 @@ def plan_for_bitrate(target_bits_per_sample: float, n_samples: int,
 # points, while int8 sides — cheap at <=19 dB (-0.03) — cost 3.4 dB at a
 # 44 dB point (tests/test_codec.py::test_side_quantization_snr_parity's
 # config).  fp16 halves the ~20% float32 side share of an h=32 payload.
+# side_quantize='auto' threshold: fp16 sides measured free (<=0.03 dB) at
+# <=44 dB fits and -2.75 dB at ~96 dB; the region between is unmeasured,
+# so gate at 70 (the mid operating point, est fit ~60-65, keeps them).
+_SIDE_AUTO_DB = 70.0
+
 _SIDE_MODE = {"float16": "float16", "bfloat16": "bfloat16",
               "int8": "float16", "int16": "float16", "int4": "float16"}
 
@@ -501,27 +523,11 @@ def encode(signal: np.ndarray, sample_rate: int,
               jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *per_ch))
     scales = np.concatenate(
         [r.chunk_scales[: r.num_chunks] for r in results])
-    if cfg.quantize and cfg.refit_steps > 0:
-        n = res.chunk_length
-        chunks = np.concatenate(
-            [chunk_signal(ch, sample_rate, mcfg)[0] for ch in chans], axis=0)
-        targets = (chunks / scales[:, None])[..., None]
-        stored = quantization_aware_refit(
-            model, params, cfg.quantize, targets,
-            np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr,
-            max_chunks_per_batch=cfg.max_chunks_per_batch,
-            per_row=cfg.per_row_scales, side=cfg.side_quantize)
-    elif cfg.quantize:
-        stored = quantize_inr_params(params, cfg.quantize,
-                                     per_row=cfg.per_row_scales,
-                                     side=cfg.side_quantize)
-    else:
-        stored = params
 
     # Estimate the fit SNR from the per-chunk best train losses (the best
     # snapshot is what ships): unnormalized mse = best_loss * scale^2.
-    # Stored in the header so decode can pick a quality-gated fused tier
-    # without touching the audio.
+    # Used by the side-quantize gate below and stored in the header so
+    # decode can pick a quality-gated fused tier without touching audio.
     best_mses = np.concatenate(
         [np.min(np.asarray(r.loss_history), axis=0)[: r.num_chunks]
          for r in results]) if results[0].loss_history.size else None
@@ -531,6 +537,30 @@ def encode(signal: np.ndarray, sample_rate: int,
             [np.asarray(c, np.float32).reshape(-1) ** 2 for c in chans])))
         mse = float(np.mean(best_mses * scales.astype(np.float64) ** 2))
         fit_snr = round(10.0 * np.log10(max(pw, 1e-30) / max(mse, 1e-30)), 2)
+
+    # Quality-gated fp16 side leaves: free (<=0.03 dB) at the <=44 dB
+    # calibration points, but at hi-fi fits the bias rounding binds —
+    # measured -2.75 dB on a ~96 dB fp16-weight fit
+    # (bench_logs_r4/83_restamp_old_payloads.log: side0 80.03 vs side1
+    # 77.28).  'auto' ships fp16 sides only below the gate.
+    side = (cfg.side_quantize if isinstance(cfg.side_quantize, bool)
+            else fit_snr is None or fit_snr < _SIDE_AUTO_DB)
+    if cfg.quantize and cfg.refit_steps > 0:
+        n = res.chunk_length
+        chunks = np.concatenate(
+            [chunk_signal(ch, sample_rate, mcfg)[0] for ch in chans], axis=0)
+        targets = (chunks / scales[:, None])[..., None]
+        stored = quantization_aware_refit(
+            model, params, cfg.quantize, targets,
+            np.asarray(get_coord(n, dim=1)), cfg.refit_steps, cfg.refit_lr,
+            max_chunks_per_batch=cfg.max_chunks_per_batch,
+            per_row=cfg.per_row_scales, side=side)
+    elif cfg.quantize:
+        stored = quantize_inr_params(params, cfg.quantize,
+                                     per_row=cfg.per_row_scales,
+                                     side=side)
+    else:
+        stored = params
 
     meta = {
         "format": _FORMAT,
@@ -542,7 +572,7 @@ def encode(signal: np.ndarray, sample_rate: int,
         "num_channels": len(chans),
         "quantize": cfg.quantize,
         "per_row_scales": bool(cfg.per_row_scales),
-        "side_quantized": bool(cfg.quantize and cfg.side_quantize),
+        "side_quantized": bool(cfg.quantize and side),
         # decode-side routing: which forward semantics trained the params
         # (the fused kernel's bf16x3 matmuls + polynomial sin, or the XLA
         # exact apply) and the estimated fit SNR for the decode-tier gate

@@ -65,6 +65,28 @@ POINTS = {
     "deep_h40": dict(chunk_seconds=0.5, hidden_features=40,
                      first_omega_0=1800.0, learning_rate=7e-4,
                      total_steps=3000, quantize="int8", refit_steps=400),
+    # ultra points (0.05 s chunks, omega 500 — ~99 dB fit headroom at a
+    # 6k budget, 81_hifi_restamp_fixed.log) at the default 3k budget
+    "ultra_fit": dict(chunk_seconds=0.05, hidden_features=128,
+                      first_omega_0=500.0, learning_rate=1e-3,
+                      total_steps=3000, quantize=None),
+    "ultra_int16": dict(chunk_seconds=0.05, hidden_features=128,
+                        first_omega_0=500.0, learning_rate=1e-3,
+                        total_steps=3000, quantize="int16"),
+    # can per-(chunk,row) int16 scales and/or QA refit lift the ~79 dB
+    # int16 weight cap toward the 100-114 dB fp32 fits?
+    "hifi_int16row": dict(chunk_seconds=0.1, hidden_features=128,
+                          first_omega_0=1000.0, learning_rate=1e-3,
+                          total_steps=3000, quantize="int16",
+                          per_row_scales=True),
+    "hifi_int16row_refit": dict(chunk_seconds=0.1, hidden_features=128,
+                                first_omega_0=1000.0, learning_rate=1e-3,
+                                total_steps=3000, quantize="int16",
+                                per_row_scales=True, refit_steps=400),
+    "ultra_int16row": dict(chunk_seconds=0.05, hidden_features=128,
+                           first_omega_0=500.0, learning_rate=1e-3,
+                           total_steps=3000, quantize="int16",
+                           per_row_scales=True),
 }
 
 DEFAULT = ["hifi_fit:35", "hifi_fit:75", "hifi_fp16:35", "hifi_int16:35",

@@ -349,9 +349,16 @@ def test_config_for_bitrate_lookup():
     # 4.5 exactly -> the 4.5 point (5% tolerance)
     c = config_for_bitrate(4.5)
     assert (c.hidden_features, c.quantize, c.refit_steps) == (48, "int8", 0)
-    # generous budget -> hi-fi fp16 point
+    # 500 bps budget -> the 452.9 bps fp32-weight point (100.2 dB)
     c = config_for_bitrate(500.0)
+    assert (c.chunk_seconds, c.quantize) == (0.1, None)
+    # 240 bps -> the fp16 hi-fi point (80.0 dB @ 230.6)
+    c = config_for_bitrate(240.0)
     assert (c.chunk_seconds, c.quantize) == (0.1, "float16")
+    # unlimited -> the ultra point pins its calibrated patience
+    c = config_for_bitrate(1000.0)
+    assert (c.chunk_seconds, c.quantize, c.plateau_patience) == (
+        0.05, None, 75)
     # base knobs survive
     base = CodecConfig(fused=True, seed=7, max_chunks_per_batch=16)
     c = config_for_bitrate(4.5, base=base)
