@@ -197,14 +197,15 @@ _MOD_RD_POINTS: tuple[tuple[str, float | None, dict[str, Any]], ...] = (
     # mid/hi-fi: 1 s segmented backbones, int16 mods (the tier that
     # removes fp16's ~76 dB cap at identical bytes).  r4 TPU calibration
     # (bench_logs_r4/08_modulated_i16.log, 3000 steps, gt_bach 7 s):
-    # h96 = 31.4 dB @ 15.5 disk bps, h128 = 39.7 dB @ 25.7 — at THIS clip
+    # h96 = 31.6 dB @ 15.5 disk bps, h128 = 40.8 dB @ 25.7 (decode-fix
+    # restamps, bench_logs_r4/83_restamp_old_payloads.log) — at THIS clip
     # length and step budget the segmented mode TIES the per-chunk
     # frontier rather than beating it (per-chunk fp16 h128 0.25 s
     # interpolates to ~40 dB at 26 bps); its advantage needs longer clips
     # where the backbone amortises.
-    ("mod_seg1_h96_i16", 31.4, dict(_MOD_RD_CAL, hidden_features=96,
+    ("mod_seg1_h96_i16", 31.6, dict(_MOD_RD_CAL, hidden_features=96,
                                     segment_s=1.0, quantize_mods="int16")),
-    ("mod_seg1_h128_i16", 39.7, dict(_MOD_RD_CAL, hidden_features=128,
+    ("mod_seg1_h128_i16", 40.8, dict(_MOD_RD_CAL, hidden_features=128,
                                      segment_s=1.0, quantize_mods="int16")),
 )
 
