@@ -533,7 +533,15 @@ def bench_full() -> float:
 
     coords_j = jnp.asarray(problem.coords)
     best_params = jax.jit(best_of)(state)
-    decode = jax.jit(lambda p, c: model.apply(p, c))
+    # quality-gated decode (same tier logic the codec ships): pick the
+    # fastest fused tier whose floor clears this fit's SNR + margin —
+    # low-fidelity full-batch fits decode on the ~100 Msamples/s bf16
+    # tier instead of the exact apply
+    snr_est = float(snr_now(state, coords_full, targets_full))
+    if model.decode_apply is not None:
+        decode = jax.jit(lambda p, c: model.decode_apply(p, c, snr_est))
+    else:
+        decode = jax.jit(lambda p, c: model.apply(p, c))
     msps = measure_decode(decode, (best_params, coords_j),
                           problem.num_samples)
     out = np.asarray(decode(best_params, coords_j))
