@@ -293,10 +293,14 @@ def test_cli_fit_multi(tmp_path):
 
 
 @pytest.mark.slow
-def test_multi_inr_fused_shard_map_8dev():
+def test_multi_inr_fused_shard_map_8dev(monkeypatch):
     """The fused Pallas apply works on a multi-device mesh: shard_map runs
     each device's kernels on its local chunks (interpret mode on the CPU
-    test mesh) and matches the unfused 8-device fit."""
+    test mesh) and matches the unfused 8-device fit.  Exactness A/B vs the
+    XLA path: pin the backward matmuls to the forward precision (the r4
+    default bf16x2 is covered by test_pallas_train)."""
+    monkeypatch.setenv("INRAUDIO_GRAD_PRECISION", "inherit")
+    jax.clear_caches()
     fs = 4000
     t = np.arange(int(0.8 * fs)) / fs
     sig = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)

@@ -86,8 +86,13 @@ def test_rff_gradients_match_reference():
             err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
 
 
-def test_one_training_step_equivalence():
-    """A full Adam step with the fused apply matches the reference apply."""
+def test_one_training_step_equivalence(monkeypatch):
+    """A full Adam step with the fused apply matches the reference apply.
+    Exactness A/B: pin the backward matmuls to the forward precision (the
+    r4 production default is the looser bf16x2, covered by
+    test_grad_precision_env_loosens_grads_only)."""
+    monkeypatch.setenv("INRAUDIO_GRAD_PRECISION", "inherit")
+    jax.clear_caches()
     from inraudio_tpu.train import AdamConfig, adam_init, adam_update
     cfg = SirenSnakeTanhConfig(first_omega_0=100.0, hidden_features=128,
                                num_sine=1, num_snake=1)
