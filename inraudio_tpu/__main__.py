@@ -131,6 +131,12 @@ def main(argv=None) -> int:
                      help="encode every channel of a multichannel file "
                           "(one stacked chunk population, single launch); "
                           "default keeps channel 0 like the reference")
+    enc.add_argument("--side-quantize", choices=["auto", "on", "off"],
+                     default="auto",
+                     help="fp16 storage for the layers-1+ side leaves "
+                          "(biases, snake a): 'auto' (default) ships them "
+                          "fp16 only below ~70 dB estimated fit — free "
+                          "there, but -2.75 dB on a ~96 dB fit (r4)")
     enc.add_argument("--plateau-patience", type=int, default=None,
                      help="ReduceLROnPlateau patience in steps (default "
                           "200 for both codec families; the decode-fixed "
@@ -269,6 +275,8 @@ def main(argv=None) -> int:
                 per_row_scales=args.per_row_scales,
                 fused=args.fused, refit_steps=args.refit_steps,
                 max_chunks_per_batch=args.max_chunks or None,
+                side_quantize={"auto": "auto", "on": True,
+                               "off": False}[args.side_quantize],
                 **({"plateau_patience": args.plateau_patience}
                    if args.plateau_patience is not None else {}))
             if args.target_bps is not None:
