@@ -163,7 +163,13 @@ def main(argv=None) -> int:
     dec = sub.add_parser("decode", help="decode an INRA/npz payload back to wav")
     dec.add_argument("--input", required=True)
     dec.add_argument("--output", required=True)
-    dec.add_argument("--fused", action="store_true")
+    dec.add_argument("--fused", choices=["auto", "on", "off"],
+                     default="auto",
+                     help="fused Pallas decode: auto (kernel when the "
+                          "payload was fused-trained and a TPU is present), "
+                          "on (force the kernel), off (force the exact XLA "
+                          "apply — the escape hatch if auto-routing "
+                          "misbehaves)")
     dec.add_argument("--max-chunks", type=int, default=0,
                      help="decode the chunk population in batches of this "
                           "size (bounds device memory; 0 = all at once)")
@@ -314,17 +320,16 @@ def main(argv=None) -> int:
         from .data.audio_io import write_wav
         if (args.start is None) != (args.stop is None):
             ap.error("--start and --stop must be given together")
+        fused = {"auto": None, "on": True, "off": False}[args.fused]
         if args.start is not None:
             if args.upsample != 1:
                 ap.error("--start/--stop do not compose with --upsample")
-            # --fused forces the kernel path; omitted = auto (kernel when
-            # the payload was fused-trained and a TPU is present)
             fs, rec = decode_range(load_inr(args.input), args.start,
-                                   args.stop, fused=args.fused or None,
+                                   args.stop, fused=fused,
                                    max_chunks_per_batch=args.max_chunks
                                    or None)
         else:
-            fs, rec = _dec(load_inr(args.input), fused=args.fused or None,
+            fs, rec = _dec(load_inr(args.input), fused=fused,
                            upsample=args.upsample,
                            max_chunks_per_batch=args.max_chunks or None)
         write_wav(args.output, fs, rec)

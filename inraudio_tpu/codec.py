@@ -543,9 +543,11 @@ def encode(signal: np.ndarray, sample_rate: int,
     # calibration points, but at hi-fi fits the bias rounding binds —
     # measured -2.75 dB on a ~96 dB fp16-weight fit
     # (bench_logs_r4/83_restamp_old_payloads.log: side0 80.03 vs side1
-    # 77.28).  'auto' ships fp16 sides only below the gate.
+    # 77.28).  'auto' ships fp16 sides only below the gate; an UNKNOWN
+    # fit SNR (empty loss history) defaults to float32 sides — they cost
+    # only payload size, never quality.
     side = (cfg.side_quantize if isinstance(cfg.side_quantize, bool)
-            else fit_snr is None or fit_snr < _SIDE_AUTO_DB)
+            else fit_snr is not None and fit_snr < _SIDE_AUTO_DB)
     if cfg.quantize and cfg.refit_steps > 0:
         n = res.chunk_length
         chunks = np.concatenate(
@@ -992,8 +994,11 @@ def _payload_model_params(payload: dict[str, Any], fused: bool | None):
     meta = payload["meta"]
     _check_format(meta)
     if fused is None:
+        # gate on == 'tpu', not != 'cpu': the fused path is a Mosaic TPU
+        # (pltpu) kernel with no GPU lowering — any other accelerator
+        # backend must fall back to the exact XLA apply
         fused = (meta.get("trained_forward") == "fused_approx"
-                 and jax.default_backend() != "cpu")
+                 and jax.default_backend() == "tpu")
     model = build_model("mlp", _model_cfg_from_meta(meta), fused=fused,
                         approx_sin=fused)
     params = payload["params"]

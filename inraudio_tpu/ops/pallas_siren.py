@@ -541,10 +541,16 @@ def auto_decode_kwargs(fit_snr_db: float,
     jit-static use; resolve with ``jnp.dtype`` if needed.
 
     ``first_omega_0``: when known, models in the high-phase regime
-    (omega0 >= 1000) use the measured high-phase floors — range
-    reduction binds every approx tier near ~43 dB there (r4 probe on the
-    reference-default omega0=22000 checkpoint), so a high-omega model
-    whose fit clears the cap decodes exact-sin.
+    (omega0 >= ``_HIGH_PHASE_OMEGA`` = 2000) use the measured high-phase
+    floors — range reduction binds every approx tier near ~43 dB there
+    (r4 probe on the reference-default omega0=22000 checkpoint), so a
+    high-omega model whose fit clears the cap decodes exact-sin (or the
+    layer0-exact mixed tier, see ``first_layer_exact``).  The crossover
+    between omega0=1000 (deg-11 floor measured >= ~95 dB,
+    bench_logs_r4/73_gap3.log) and 22000 (floor 43-49) is unmeasured, so
+    the gate starts at 2000; the deg-11 table floor of 134 dB was
+    measured at omega0~115 and is a >= ~95 dB LOWER BOUND at
+    omega0=500-1000, not a measured 134 there.
     """
     need = fit_snr_db + margin_db
     high_phase = (first_omega_0 is not None
