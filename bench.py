@@ -264,13 +264,40 @@ def bench_multi() -> float:
 
     states = init_states(0)
 
-    def run(states, targets):
-        def body(s, _):
-            s, (loss, lr) = vstep(s, targets)
-            return s, loss
-        return jax.lax.scan(body, states, None, length=ROUND_STEPS)
+    def make_run(vs):
+        def run(states, targets):
+            def body(s, _):
+                s, (loss, lr) = vs(s, targets)
+                return s, loss
+            return jax.lax.scan(body, states, None, length=ROUND_STEPS)
+        return jax.jit(run, donate_argnums=(0,))
 
-    run = jax.jit(run, donate_argnums=(0,))
+    run = make_run(vstep)
+
+    # BENCH_SCHEDULE=1 (fused path only): quality-scheduled training
+    # precision — start every round on a CHEAP numerically-bounded step
+    # tier (bf16x2 fwd matmuls, 1-pass bf16 grads, deg-7 sin polynomial;
+    # ~-63 dB activation floor) and permanently escalate to the full tier
+    # (bf16x3/bf16x2/deg-11) once the round's mean chunk loss crosses the
+    # tier's noise floor — the training-side mirror of the decode gate
+    # (ops/pallas_siren.auto_decode_kwargs).  BENCH_SCHEDULE_DB sets the
+    # handover fit-SNR (default 45: safely under the cheap tier's cap so
+    # the escalation happens before its bias binds).
+    schedule = os.environ.get("BENCH_SCHEDULE", "0") == "1" and block is not None
+    use_cheap = schedule
+    sched_thr = float("inf")
+    run_cheap = None
+    if schedule:
+        from inraudio_tpu.train.loop import schedule_tiers
+        cheap_tier, _full = schedule_tiers()
+        vstep_cheap = make_vmapped_fused_step(model, tc, coords, block,
+                                              tier=cheap_tier)[0]
+        run_cheap = make_run(vstep_cheap)
+        power = float(np.mean(np.asarray(targets) ** 2))
+        sched_db = float(os.environ.get("BENCH_SCHEDULE_DB", "45"))
+        sched_thr = power / 10.0 ** (sched_db / 10.0)
+        log(f"precision schedule: cheap tier {cheap_tier} until mean loss "
+            f"< {sched_thr:.3e} (~{sched_db:.0f} dB fit)")
 
     # optional per-round stitched-SNR tracking (adds one vmapped decode per
     # round, ~40 ms) — reports time-to-40dB, the BASELINE.md secondary metric
@@ -301,6 +328,9 @@ def bench_multi() -> float:
     # before remote compile+execution finish, so without this the first
     # timed round silently absorbs the whole compile (train/loop.py:232-237)
     _ = np.asarray(h[-1])
+    if schedule:
+        states, h = run_cheap(states, targets)  # compile the cheap tier too
+        _ = np.asarray(h[-1])
     if track_snr:
         _ = float(quick_snr(states))  # compile outside the budget too
     states = init_states(1)
@@ -317,10 +347,16 @@ def bench_multi() -> float:
     t40 = None
     snap_states, snap_steps, snap_t = None, 0, 0.0
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
-        states, h = run(states, targets)
+        states, h = (run_cheap if use_cheap else run)(states, targets)
         # fetch BEFORE reading the clock: this is the real round boundary
         # (axon block_until_ready returns early; np.asarray does not)
-        worst = float(np.max(np.asarray(h[-1])))
+        last = np.asarray(h[-1])
+        worst = float(np.max(last))
+        if use_cheap and float(np.mean(last)) < sched_thr:
+            use_cheap = False
+            log(f"  precision schedule: escalating to the full tier at "
+                f"step {steps + ROUND_STEPS} (mean loss "
+                f"{float(np.mean(last)):.3e})")
         steps += ROUND_STEPS
         t_now = time.time() - t0
         if t_now <= BUDGET_S:
@@ -372,7 +408,8 @@ def bench_multi() -> float:
                 name=f"{model.name}_decode_{approx}", config=model_cfg,
                 init=model.init,
                 apply=lambda p, c: fused_siren_apply(
-                    p, model_cfg, c, block_rows=2048, approx_sin=approx))
+                    p, model_cfg, c, block_rows=2048, approx_sin=approx,
+                    interpret=_INTERPRET))
         candidates = [("approx-sin", mk(True)), ("exact-sin", mk(False))]
     else:
         candidates = [("xla", model)]
@@ -450,6 +487,16 @@ def bench_full() -> float:
             approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
         train_step = lambda s, c, t, w: fstep(s, c, t)
         log(f"fused whole-step kernel: block_rows={block}")
+        cheap_step = None
+        if os.environ.get("BENCH_SCHEDULE", "0") == "1":
+            from inraudio_tpu.train.loop import schedule_tiers
+            cheap_tier, _full = schedule_tiers()
+            fstep_c = make_fused_mse_train_step(
+                ctx["cfg"], cfg, nv, block, rff_b=ctx["rff_b"],
+                approx_sin=ctx["approx_sin"], interpret=ctx["interpret"],
+                tier=cheap_tier)
+            cheap_step = lambda s, c, t, w: fstep_c(s, c, t)
+            log(f"precision schedule: cheap tier {cheap_tier}")
 
         def mk_state(seed):
             st = init_train_state(model, jax.random.PRNGKey(seed), cfg)
@@ -470,15 +517,27 @@ def bench_full() -> float:
 
         def best_of(st):
             return st.best_params
+        cheap_step = None
     state = mk_state(0)
 
-    def run_chunk(state, coords, targets, weight):
-        def body(s, _):
-            s, (loss, lr) = train_step(s, coords, targets, weight)
-            return s, loss
-        return jax.lax.scan(body, state, None, length=ROUND_STEPS)
+    def mk_run(stp):
+        def run_chunk(state, coords, targets, weight):
+            def body(s, _):
+                s, (loss, lr) = stp(s, coords, targets, weight)
+                return s, loss
+            return jax.lax.scan(body, state, None, length=ROUND_STEPS)
+        return jax.jit(run_chunk, donate_argnums=(0,))
 
-    run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
+    run_chunk = mk_run(train_step)
+    run_cheap = mk_run(cheap_step) if cheap_step is not None else None
+    use_cheap = run_cheap is not None
+    sched_thr = float("inf")
+    if use_cheap:
+        power = float(np.mean(np.asarray(problem.targets) ** 2))
+        sched_db = float(os.environ.get("BENCH_SCHEDULE_DB", "45"))
+        sched_thr = power / 10.0 ** (sched_db / 10.0)
+        log(f"precision schedule: escalate below loss {sched_thr:.3e} "
+            f"(~{sched_db:.0f} dB fit)")
 
     # SNR over the UNPADDED problem (the fused-step path zero-pads
     # coords/targets to the kernel tile)
@@ -490,6 +549,9 @@ def bench_full() -> float:
     t_setup = time.time()
     state, _ = run_chunk(state, coords_d, targets_d, weight_d)
     jax.block_until_ready(state.params)
+    if run_cheap is not None:
+        state, _ = run_cheap(state, coords_d, targets_d, weight_d)
+        jax.block_until_ready(state.params)
     _ = float(snr_now(state, coords_full, targets_full))
     # re-initialize so warmup progress doesn't leak into the budget
     state = mk_state(1)
@@ -504,10 +566,15 @@ def bench_full() -> float:
     best_snr = -np.inf
     snap_state, snap_steps, snap_t = None, 0, 0.0
     while time.time() - t0 < BUDGET_S and steps < MAX_STEPS:
-        state, losses = run_chunk(state, coords_d, targets_d, weight_d)
+        state, losses = (run_cheap if use_cheap else run_chunk)(
+            state, coords_d, targets_d, weight_d)
         # fetch BEFORE reading the clock: this is the real round boundary
         # (axon block_until_ready returns early; np.asarray does not)
         last_loss = float(np.asarray(losses[-1]))
+        if use_cheap and last_loss < sched_thr:
+            use_cheap = False
+            log(f"  precision schedule: escalating to the full tier at "
+                f"step {steps + ROUND_STEPS} (loss {last_loss:.3e})")
         steps += ROUND_STEPS
         t_now = time.time() - t0
         snr = float(snr_now(state, coords_full, targets_full))

@@ -62,12 +62,19 @@ def log_spectral_distance(reference: np.ndarray, estimate: np.ndarray,
     (``dsp.stft``; ``jnp.fft`` has no lowering on this TPU runtime)."""
     import jax.numpy as jnp
 
-    from ..dsp.stft import stft
+    from ..dsp.stft import stft_real_imag
     n = min(len(reference), len(estimate))
     a = jnp.asarray(reference[:n], jnp.float32)
     b = jnp.asarray(estimate[:n], jnp.float32)
-    pa_ = jnp.abs(stft(a, n_fft=n_fft, hop=hop)) ** 2
-    pb_ = jnp.abs(stft(b, n_fft=n_fft, hop=hop)) ** 2
+
+    # power from (real, imag) directly: complex arithmetic has no lowering
+    # on the axon TPU runtime (same reason dsp.stft is a matmul rDFT)
+    def power(x):
+        re, im = stft_real_imag(x, n_fft=n_fft, hop=hop)
+        return re * re + im * im
+
+    pa_ = power(a)
+    pb_ = power(b)
     floor = jnp.maximum(jnp.max(pa_), jnp.max(pb_)) * rel_floor + 1e-30
     pa = jnp.log10(jnp.maximum(pa_, floor))
     pb = jnp.log10(jnp.maximum(pb_, floor))

@@ -225,7 +225,7 @@ def _rff_features_in_kernel(x, bt, in_features, sin_fn, cos_fn):
 def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                   compute_dtype, compact_out=False, approx_sin=False,
                   rff_features=0, sin_poly_degree=11, mixed_matmul=False,
-                  f32_mode=None):
+                  f32_mode=None, exact_first_sin=False):
     """refs = [(bt?), w0, b0, (a0?), w1, b1, (a1?), ..., out_ref].
 
     ``compact_out``: the model output is scalar (out_features == 1), so
@@ -237,6 +237,14 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
     ``rff_features`` > 0: refs[0] is the fixed 2*pi-scaled RFF projection
     B^T (in_pad, F); layer 0 consumes the in-VMEM (cos, sin) features with
     its (2F, h) weight split into cos/sin row halves — two MXU matmuls.
+
+    ``exact_first_sin``: evaluate LAYER 0's trig with the precise lowering
+    even when ``approx_sin`` — the high-omega mixed tier (r4 trained-floor
+    probe, bench_logs_r4/40_trained_floor.log): at omega0 ~ 2e4 the first
+    layer's polynomial phase error scales with the argument and floors
+    every approx tier at 43-49 dB, while the HIDDEN layers run omega=30
+    where the polynomial is ~-130 dB.  Exact sin on the one delicate
+    layer, polynomial on the rest.
     """
     out_ref = refs[-1]
     refs = refs[:-1]
@@ -248,6 +256,8 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
     bt_ref = None
     if rff_features:
         bt_ref, refs = refs[0], refs[1:]
+    sin0_fn = jnp.sin if exact_first_sin else sin_fn
+    cos0_fn = jnp.cos if exact_first_sin else cos_fn
 
     x = coords_ref[:].astype(jnp.float32)  # (rows, in_pad)
     ri = 0
@@ -257,7 +267,7 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
         ri += 2
         if li == 0 and rff_features:
             cv, sv = _rff_features_in_kernel(x, bt_ref[:], in_features,
-                                             sin_fn, cos_fn)
+                                             sin0_fn, cos0_fn)
             dims = (((1,), (0,)), ((), ()))
             pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype,
                                mode=f32_mode)
@@ -280,7 +290,9 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                   else compute_dtype)
             pre = _kernel_dot(x, w[:], (((1,), (0,)), ((), ())),
                               dt, mode=f32_mode) + b.astype(jnp.float32)
-        if kind in ("sine_first", "sine"):
+        if kind == "sine_first":
+            x = sin0_fn(omegas[li] * pre)
+        elif kind == "sine":
             x = sin_fn(omegas[li] * pre)
         elif kind == "linear_snake":
             a = refs[ri][:].astype(jnp.float32)  # (1, out_f)
@@ -302,13 +314,14 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                                              "interpret", "approx_sin",
                                              "sin_poly_degree",
                                              "mixed_matmul", "packed_out",
-                                             "f32_mode"))
+                                             "f32_mode", "exact_first_sin"))
 def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                      block_rows: int, compute_dtype_name: str,
                      interpret: bool, approx_sin: bool = False,
                      bt=None, sin_poly_degree: int = 11,
                      mixed_matmul: bool = False, packed_out: bool = False,
-                     f32_mode: str | None = None):
+                     f32_mode: str | None = None,
+                     exact_first_sin: bool = False):
     compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
                      else jnp.float32)
     kinds = cfg.layer_kinds
@@ -348,7 +361,8 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
                                rff_features=rff_features,
                                sin_poly_degree=sin_poly_degree,
                                mixed_matmul=mixed_matmul,
-                               f32_mode=f32_mode)
+                               f32_mode=f32_mode,
+                               exact_first_sin=exact_first_sin)
     if compact:
         # scalar output packed (n_pad // 128, 128): exactly n_pad floats of
         # HBM write instead of a 128-lane-padded (n_pad, 128) activation
@@ -426,8 +440,15 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                       sin_poly_degree: int = 11,
                       mixed_matmul: bool = False,
                       packed_out: bool = False,
-                      f32_mode: str | None = None) -> jax.Array:
+                      f32_mode: str | None = None,
+                      exact_first_sin: bool = False) -> jax.Array:
     """Fused full-stack forward: drop-in for siren_snake_tanh_apply.
+
+    ``exact_first_sin=True`` (with ``approx_sin``) keeps LAYER 0's trig on
+    the precise lowering while hidden layers use the polynomial — the
+    high-omega mixed tier: at omega0 >= ~2000 the first layer's polynomial
+    phase error floors every uniform approx tier at 43-49 dB while the
+    hidden layers (omega=30) sit at the polynomial's own -63..-130 dB.
 
     ``approx_sin=True`` swaps jnp.sin/cos for the Cody-Waite + degree-11
     polynomial pair (error ~1e-6 abs): decode is transcendental-bound, so
@@ -476,7 +497,8 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
                             approx_sin, bt=bt,
                             sin_poly_degree=sin_poly_degree,
                             mixed_matmul=mixed_matmul, packed_out=packed_out,
-                            f32_mode=f32_mode)
+                            f32_mode=f32_mode,
+                            exact_first_sin=exact_first_sin)
 
 
 # Decode-noise floors of each fused-decode configuration, measured against

@@ -119,7 +119,8 @@ def step_supported(cfg: SirenSnakeTanhConfig, n_rows: int,
 
 def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
                  in_features, compute_dtype, num_slots, n_valid,
-                 clip_norm, approx_sin, rff_features, track_best):
+                 clip_norm, approx_sin, rff_features, track_best,
+                 f32_mode=None, grad_mode="env", sin_degree=11):
     """One grid step = one coordinate tile of the fused train step.
 
     refs layout: [bt?] p[ns] mu[ns] nu[ns] best[ns]? | loss newp[ns]
@@ -156,12 +157,16 @@ def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
         for gr in g_refs:
             gr[...] = jnp.zeros(gr.shape, gr.dtype)
 
-    sin_fn = _fast_sin if approx_sin else jnp.sin
-    cos_fn = _fast_cos if approx_sin else jnp.cos
+    if approx_sin:
+        sin_fn = functools.partial(_fast_sin, degree=sin_degree)
+        cos_fn = functools.partial(_fast_cos, degree=sin_degree)
+    else:
+        sin_fn, cos_fn = jnp.sin, jnp.cos
     x0 = coords_ref[:].astype(jnp.float32)
     out, saved = _fwd_pres(x0, p_refs, kinds, omegas, in_features,
                            compute_dtype, approx_sin,
-                           rff_features=rff_features, bt_ref=bt_ref)
+                           rff_features=rff_features, bt_ref=bt_ref,
+                           f32_mode=f32_mode, sin_degree=sin_degree)
 
     rows, lanes = out.shape
     tgt = tgt_ref[:].astype(jnp.float32)                      # (rows, 1)
@@ -176,7 +181,8 @@ def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
 
     g = err * (2.0 * inv_n)
     _bwd_sweep(g, saved, kinds, omegas, p_refs, g_refs,
-               compute_dtype, sin_fn, cos_fn, rff_features)
+               compute_dtype, sin_fn, cos_fn, rff_features,
+               grad_mode=grad_mode)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -222,8 +228,16 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
                         flat_best=None,
                         compute_dtype_name: str = "float32",
                         interpret: bool = False, approx_sin: bool = False,
-                        bt=None):
+                        bt=None, f32_mode: str | None = None,
+                        grad_mode: str | None = "env",
+                        sin_degree: int = 11):
     """Invoke the fused step kernel.
+
+    ``f32_mode`` / ``grad_mode`` / ``sin_degree`` pin this trace's forward
+    matmul split, backward matmul split and sin-polynomial degree (defaults:
+    the INRAUDIO_F32_PRECISION / INRAUDIO_GRAD_PRECISION env ladder and
+    degree 11) — the levers quality-scheduled training re-dispatches
+    between (train.loop.schedule_tiers).
 
     ``coords_p`` (n_pad, 8) and ``tgt_p`` (n_pad, 1) are PRE-PADDED by the
     caller (once per fit, not per step — killing the per-step pad op).
@@ -285,7 +299,8 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
         in_features=raw_in_features,
         compute_dtype=compute_dtype, num_slots=ns, n_valid=n_valid,
         clip_norm=clip_norm, approx_sin=approx_sin,
-        rff_features=rff_features, track_best=track_best)
+        rff_features=rff_features, track_best=track_best,
+        f32_mode=f32_mode, grad_mode=grad_mode, sin_degree=sin_degree)
     base = 3 + (1 if bt is not None else 0)
     aliases = {}
     for gi in range(len(groups)):
@@ -674,7 +689,8 @@ def pad_step_inputs(coords: np.ndarray, targets: np.ndarray,
 def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
                               n_valid: int, block_rows: int,
                               rff_b=None, approx_sin: bool = False,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              tier: dict | None = None):
     """Build step(state: FlatTrainState, coords_p, tgt_p) -> (state,
     (loss, lr)) — semantics of ``train.loop.make_train_step`` for
     loss_mode='mse', alpha=0, with the compute in one Pallas call.
@@ -682,6 +698,10 @@ def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
     Plateau scheduler and best tracking run in XLA on the step's outputs:
     the best snapshot selects the OLD params (the ones that produced the
     loss), exactly like the reference path (loop.py make_train_step).
+
+    ``tier``: optional {f32_mode, grad_mode, sin_degree} overrides — a
+    cheaper numerically-bounded step variant for the quality-scheduled
+    training ladder (see train.loop.schedule_tiers).
     """
     from ..train.optim import PlateauConfig, plateau_update
     from ..train.optim import PlateauState
@@ -693,6 +713,10 @@ def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
     raw_d = cfg.in_features if rff_b is None else rff_b.shape[1]
     clip = float(train_cfg.grad_clip_norm)
     track_best = train_cfg.track_best
+    tier = tier or {}
+    tier_kw = dict(f32_mode=tier.get("f32_mode"),
+                   grad_mode=tier.get("grad_mode", "env"),
+                   sin_degree=tier.get("sin_degree", 11))
 
     def step(state: FlatTrainState, coords_p, tgt_p):
         t = state.step + 1
@@ -708,13 +732,15 @@ def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
                 list(state.params), list(state.mu), list(state.nu),
                 coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip,
                 raw_d, flat_best=list(state.best_params),
-                interpret=interpret, approx_sin=approx_sin, bt=bt)
+                interpret=interpret, approx_sin=approx_sin, bt=bt,
+                **tier_kw)
             best = tuple(best)
         else:
             loss, new_p, new_mu, new_nu = fused_mse_step_call(
                 list(state.params), list(state.mu), list(state.nu),
                 coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip,
-                raw_d, interpret=interpret, approx_sin=approx_sin, bt=bt)
+                raw_d, interpret=interpret, approx_sin=approx_sin, bt=bt,
+                **tier_kw)
             best = state.best_params  # reference alias semantics
         pl_state, new_lr = plateau_update(
             PlateauState(best=state.plateau_best, num_bad=state.plateau_bad),

@@ -43,14 +43,22 @@ def _layer_param_slots(kinds):
 
 
 def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
-              approx_sin=False, rff_features=0, bt_ref=None):
+              approx_sin=False, rff_features=0, bt_ref=None,
+              f32_mode=None, sin_degree=11):
     """Recompute forward, returning per-layer (input, pre) pairs.
 
     With ``rff_features``, layer 0's saved input is the (cos_v, sin_v)
     feature pair (the encoding is recomputed in VMEM, never stored in HBM).
+
+    ``f32_mode`` / ``sin_degree`` override the env-default matmul split /
+    polynomial degree for this trace — the training-side precision-tier
+    levers (quality-scheduled training re-dispatches between tiers).
     """
-    sin_fn = _fast_sin if approx_sin else jnp.sin
-    cos_fn = _fast_cos if approx_sin else jnp.cos
+    if approx_sin:
+        sin_fn = functools.partial(_fast_sin, degree=sin_degree)
+        cos_fn = functools.partial(_fast_cos, degree=sin_degree)
+    else:
+        sin_fn, cos_fn = jnp.sin, jnp.cos
     saved = []
     ri = 0
     for li, kind in enumerate(kinds):
@@ -61,8 +69,10 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
             cv, sv = _rff_features_in_kernel(x, bt_ref[:], in_features,
                                              sin_fn, cos_fn)
             dims = (((1,), (0,)), ((), ()))
-            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype)
-                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype)
+            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype,
+                               mode=f32_mode)
+                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype,
+                                 mode=f32_mode)
                    + b.astype(jnp.float32))
             x = (cv, sv)
         elif li == 0:
@@ -71,7 +81,8 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
                 pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
         else:
             pre = _kernel_dot(x, w, (((1,), (0,)), ((), ())),
-                              compute_dtype) + b.astype(jnp.float32)
+                              compute_dtype, mode=f32_mode) \
+                + b.astype(jnp.float32)
         a = None
         if kind in ("sine_first", "sine"):
             out = sin_fn(omegas[li] * pre)
@@ -89,17 +100,23 @@ def _fwd_pres(x, refs, kinds, omegas, in_features, compute_dtype,
 
 
 def _bwd_sweep(g, saved, kinds, omegas, param_refs, grad_refs,
-               compute_dtype, sin_fn, cos_fn, rff_features=0):
+               compute_dtype, sin_fn, cos_fn, rff_features=0,
+               grad_mode="env"):
     """Reverse walk over the layer stack: backprop ``g`` through the saved
     (input, pre-activation) pairs, ACCUMULATING dW/db/da into ``grad_refs``
     with ``+=`` (callers zero the refs on the first grid step; constant
     index maps make the same VMEM block persist across the sequential
     grid).  Shared by the custom-VJP backward kernel and the fused
-    train-step kernel (pallas_siren_step)."""
+    train-step kernel (pallas_siren_step).
+
+    ``grad_mode="env"`` reads INRAUDIO_GRAD_PRECISION (the process-wide
+    default); an explicit mode string/None pins this trace's backward
+    matmul split — the scheduled-training tier lever."""
     # walk layers in reverse, tracking ref index per layer
     slots = _layer_param_slots(kinds)
     starts = np.cumsum([0] + slots[:-1]).tolist()
-    gmode = _grad_dot_mode()  # optional cheaper precision for grad matmuls
+    # optional cheaper precision for grad matmuls
+    gmode = _grad_dot_mode() if grad_mode == "env" else grad_mode
     for li in range(len(kinds) - 1, -1, -1):
         kind = kinds[li]
         x_in, pre, a = saved[li]

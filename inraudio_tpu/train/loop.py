@@ -184,7 +184,8 @@ def fused_step_plan(model: INRModel, cfg: TrainConfig, n_rows: int,
 
 
 def make_vmapped_fused_step(model: INRModel, cfg: TrainConfig,
-                            coords: np.ndarray, block: int):
+                            coords: np.ndarray, block: int,
+                            tier: dict | None = None):
     """Wire the whole-step fused kernel for a vmapped chunk population.
 
     Companion to ``fused_step_plan`` (call only when it returned
@@ -212,7 +213,8 @@ def make_vmapped_fused_step(model: INRModel, cfg: TrainConfig,
                                      block)
     fstep = make_fused_mse_train_step(
         ctx["cfg"], cfg, n, block, rff_b=ctx["rff_b"],
-        approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
+        approx_sin=ctx["approx_sin"], interpret=ctx["interpret"],
+        tier=tier)
     vstep = jax.vmap(lambda s, t: fstep(s, coords_p, t), in_axes=(0, 0))
     to_flat = jax.vmap(lambda s: flat_state_from_train_state(
         s, ctx["cfg"], rff=ctx["rff_b"] is not None))
@@ -226,6 +228,29 @@ def make_vmapped_fused_step(model: INRModel, cfg: TrainConfig,
         return tp
 
     return vstep, to_flat, from_flat, best_unflatten, pad_targets
+
+
+def schedule_tiers() -> tuple[dict, None]:
+    """The quality-scheduled training precision ladder: (cheap, full).
+
+    The training-side mirror of the decode gate (VERDICT r4 item 3 /
+    ops/pallas_siren.auto_decode_kwargs): early optimization steps at loss
+    ~1e-2 cannot need the numerical floor that step 5000 at loss ~1e-13
+    needs, so rounds start on a CHEAP step tier and escalate when the
+    carried loss crosses the tier's measured noise floor.
+
+    cheap = bf16x2 forward matmuls (forward-bias cap ~68 dB, BASELINE.md
+    r4 A/B), single-pass bf16 backward (gradient rounding is zero-mean
+    noise Adam absorbs), deg-7 sin polynomial (~-63 dB activation floor)
+    — 4 of the 9 MXU passes per hidden layer per step, and the shortest
+    VPU transcendental chain.  full = None (the process defaults:
+    bf16x3 fwd / INRAUDIO_GRAD_PRECISION bwd / deg-11).
+
+    The escalation is host-side re-dispatch between identically-shaped
+    jitted scans (the FlatTrainState carry is tier-independent), so the
+    switch costs one extra compile, nothing per-step.
+    """
+    return dict(f32_mode="bf16x2", grad_mode="bf16", sin_degree=7), None
 
 
 def fit(model: INRModel,

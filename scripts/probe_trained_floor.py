@@ -45,6 +45,20 @@ TIERS = (
     ("bf16x2+deg9+mixed (cand)", dict(approx_sin=True, sin_poly_degree=9,
                                       mixed_matmul=True, f32_mode="bf16x2")),
     ("bf16x3+deg9 (tier3, 90dB)", dict(approx_sin=True, sin_poly_degree=9)),
+    # r5 high-omega mixed tiers: layer 0 on the precise sin (its phase
+    # error at omega0~2e4 is what floors every uniform approx tier at
+    # 43-49 dB), polynomial on the hidden omega=30 layers
+    ("L0exact+deg7+bf16 (r5)", dict(approx_sin=True, sin_poly_degree=7,
+                                    compute_dtype=jnp.bfloat16,
+                                    exact_first_sin=True)),
+    ("L0exact+deg7+x2+mixed (r5)", dict(approx_sin=True, sin_poly_degree=7,
+                                        mixed_matmul=True, f32_mode="bf16x2",
+                                        exact_first_sin=True)),
+    ("L0exact+deg9 (r5)", dict(approx_sin=True, sin_poly_degree=9,
+                               exact_first_sin=True)),
+    ("L0exact+deg11 (r5)", dict(approx_sin=True, sin_poly_degree=11,
+                                exact_first_sin=True)),
+    ("exact-sin f32 (fused)", dict(approx_sin=False)),
 )
 
 
