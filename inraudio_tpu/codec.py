@@ -209,6 +209,24 @@ _MOD_RD_POINTS: tuple[tuple[str, float | None, dict[str, Any]], ...] = (
                                      segment_s=1.0, quantize_mods="int16")),
 )
 
+# r5 minute-scale calibration (scripts/bench_minute_rd.py, 60 s tiled
+# gt_bach, 3000 steps, bench_logs_r5/03_minute_low.log + 04_minute_mid.log):
+#   - whole-clip-backbone points amortise (h64: 2.08 -> 1.26 disk bps) but
+#     LOSE quality as one backbone spans more content (19.1 -> 16.77 dB) —
+#     they still own the frontier below per-chunk's 1.88 bps floor, which
+#     no per-chunk config reaches at any length;
+#   - 5 s-segment mid-rate points are a measured NEGATIVE: seg5_h128
+#     21.6 dB @ 9.0 bps vs per-chunk 0.5 s h48 fp16 31.6 dB @ 6.6 bps —
+#     capacity per content-second binds (the r3 rule), so segments must
+#     stay ~1 s, where bits/sample no longer amortises.  Mid-rate minute
+#     encodes belong to the per-chunk codec.
+# Planner consequence: at long clips the whole-clip points' 7 s SNR
+# calibrations are replaced by the 60 s measurement (or derated by its
+# measured delta when unmeasured).
+_MOD_LONG_CLIP_S = 20.0
+_MOD_SNR_60S = {"mod_h64_i8": 16.77}
+_MOD_LONG_DERATE_DB = 19.1 - 16.77   # measured h64 7 s -> 60 s delta
+
 
 def estimate_modulated_bps(cfg: ModulatedCodecConfig, n_samples: int,
                            sample_rate: int, channels: int = 1) -> float:
@@ -282,10 +300,16 @@ def plan_for_bitrate(target_bits_per_sample: float, n_samples: int,
     for bps, snr, knobs in _RD_POINTS:
         cands.append((snr, bps, "per_chunk",
                       dataclasses.replace(base, **knobs)))
+    long_clip = n_samples > _MOD_LONG_CLIP_S * sample_rate
     for _name, snr, knobs in (_MOD_RD_POINTS if _mod_points is None
                               else _mod_points):
         if snr is None:
             continue
+        if long_clip and knobs.get("segment_s") is None:
+            # whole-clip backbone spanning more content than it was
+            # calibrated on: use the 60 s measurement where it exists,
+            # else derate by its measured delta (r5 minute-scale rows)
+            snr = _MOD_SNR_60S.get(_name, snr - _MOD_LONG_DERATE_DB)
         mcfg = dataclasses.replace(mod_base, **knobs)
         bps = 0.93 * estimate_modulated_bps(mcfg, n_samples, sample_rate,
                                             channels)

@@ -903,6 +903,27 @@ def test_plan_for_bitrate_default_table_mid_rate_is_modulated():
     assert cfg.refit_backbone_steps == 400
 
 
+def test_plan_for_bitrate_minute_scale():
+    """r5 minute-scale calibration (bench_logs_r5/03+04): at 60 s the
+    whole-clip-backbone points amortise below the per-chunk 1.88 bps floor
+    (h64: 16.77 dB @ ~1.3 disk bps measured) and still own the ultra-low
+    end, while the mid rates belong to per-chunk (seg5 modulated measured
+    ~10 dB under per-chunk at equal bps: capacity per content-second)."""
+    from inraudio_tpu.codec import ModulatedCodecConfig, plan_for_bitrate
+
+    n, fs = 60 * 44100, 44100
+    # ultra-low: only the amortised whole-clip modulated points fit
+    kind, cfg = plan_for_bitrate(1.5, n, fs)
+    assert kind == "modulated" and isinstance(cfg, ModulatedCodecConfig)
+    assert cfg.segment_s is None and cfg.hidden_features == 64
+
+    # mid rate at minute scale: per-chunk dominates (the 0.5 s h48 fp16
+    # point at 6.91 bps / 32.1 dB beats every measured modulated option)
+    kind, cfg = plan_for_bitrate(8.0, n, fs)
+    assert kind == "per_chunk"
+    assert cfg.hidden_features == 48 and cfg.quantize == "float16"
+
+
 def test_meta_trained_forward_and_fit_snr(small_payload):
     """r4: the header records the training forward semantics and an
     estimated fit SNR (from per-chunk best losses) so decode can route
