@@ -120,17 +120,26 @@ def step_supported(cfg: SirenSnakeTanhConfig, n_rows: int,
 def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
                  in_features, compute_dtype, num_slots, n_valid,
                  clip_norm, approx_sin, rff_features, track_best,
-                 f32_mode=None, grad_mode="env", sin_degree=11):
+                 f32_mode=None, grad_mode="env", sin_degree=11,
+                 has_weight=False):
     """One grid step = one coordinate tile of the fused train step.
 
-    refs layout: [bt?] p[ns] mu[ns] nu[ns] best[ns]? | loss newp[ns]
+    refs layout: [w?] [bt?] p[ns] mu[ns] nu[ns] best[ns]? | loss newp[ns]
     newmu[ns] newnu[ns] newbest[ns]? | grads-scratch[ns].  Loss and grads
     accumulate across the sequential grid (constant index maps); the
     clip+Adam+best epilogue runs on the LAST tile, when the gradients are
     complete.  The best snapshot lives IN the kernel so the old params die
     at the call boundary — every state group aliases in-place, and the
     scan carry needs zero XLA copies.
+
+    ``has_weight``: a per-row (rows, 1) loss weight streams in like the
+    targets (the psychoacoustic mask, reference draft utils.py:365-376) —
+    loss = sum(w * err^2)/n, g = 2*w*err/n, matching train.losses.mix_loss
+    for mse with a mean-1-normalised weight.
     """
+    w_ref = None
+    if has_weight:
+        w_ref, refs = refs[0], refs[1:]
     bt_ref = None
     if rff_features:
         bt_ref, refs = refs[0], refs[1:]
@@ -177,9 +186,14 @@ def _step_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
     mask = ((row_ids < n_valid) & (lane_ids < 1)).astype(jnp.float32)
     err = (out - tgt) * mask
     inv_n = 1.0 / float(n_valid)
-    loss_ref[...] += jnp.sum(err * err, axis=0, keepdims=True) * inv_n
-
-    g = err * (2.0 * inv_n)
+    if has_weight:
+        wv = w_ref[:].astype(jnp.float32)                     # (rows, 1)
+        loss_ref[...] += jnp.sum(err * err * wv, axis=0,
+                                 keepdims=True) * inv_n
+        g = err * (wv * (2.0 * inv_n))
+    else:
+        loss_ref[...] += jnp.sum(err * err, axis=0, keepdims=True) * inv_n
+        g = err * (2.0 * inv_n)
     _bwd_sweep(g, saved, kinds, omegas, p_refs, g_refs,
                compute_dtype, sin_fn, cos_fn, rff_features,
                grad_mode=grad_mode)
@@ -230,7 +244,7 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
                         interpret: bool = False, approx_sin: bool = False,
                         bt=None, f32_mode: str | None = None,
                         grad_mode: str | None = "env",
-                        sin_degree: int = 11):
+                        sin_degree: int = 11, wgt_p=None):
     """Invoke the fused step kernel.
 
     ``f32_mode`` / ``grad_mode`` / ``sin_degree`` pin this trace's forward
@@ -271,6 +285,10 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
         pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [coords_p, tgt_p, scal]
+    if wgt_p is not None:
+        in_specs.append(pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(wgt_p)
     rff_features = 0
     if bt is not None:
         rff_features = bt.shape[1]
@@ -300,8 +318,9 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
         compute_dtype=compute_dtype, num_slots=ns, n_valid=n_valid,
         clip_norm=clip_norm, approx_sin=approx_sin,
         rff_features=rff_features, track_best=track_best,
-        f32_mode=f32_mode, grad_mode=grad_mode, sin_degree=sin_degree)
-    base = 3 + (1 if bt is not None else 0)
+        f32_mode=f32_mode, grad_mode=grad_mode, sin_degree=sin_degree,
+        has_weight=wgt_p is not None)
+    base = 3 + (1 if wgt_p is not None else 0) + (1 if bt is not None else 0)
     aliases = {}
     for gi in range(len(groups)):
         for j in range(ns):
@@ -328,7 +347,8 @@ def fused_mse_step_call(flat_params, flat_mu, flat_nu, coords_p, tgt_p,
 
 def _grad_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
                  in_features, compute_dtype, num_slots, inv_n,
-                 approx_sin, rff_features):
+                 approx_sin, rff_features, has_weight=False,
+                 f32_mode=None, grad_mode="env", sin_degree=11):
     """Grad-accumulation half of the fused step, for the row-sharded
     multi-device path (the whole-step ``_step_kernel`` cannot shard over
     rows: its in-kernel Adam epilogue would update each device from its
@@ -341,8 +361,11 @@ def _grad_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
     program, but only the shard holding the global pad tail masks rows.
     ``inv_n`` is the GLOBAL 1/n_valid — the loss/grad normalizer must
     not depend on the shard, so the psum of partials equals the
-    single-device value.
+    single-device value.  refs layout: [w?] [bt?] p[ns] | loss g[ns].
     """
+    w_ref = None
+    if has_weight:
+        w_ref, refs = refs[0], refs[1:]
     bt_ref = None
     if rff_features:
         bt_ref, refs = refs[0], refs[1:]
@@ -359,12 +382,16 @@ def _grad_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
         for gr in g_refs:
             gr[...] = jnp.zeros(gr.shape, gr.dtype)
 
-    sin_fn = _fast_sin if approx_sin else jnp.sin
-    cos_fn = _fast_cos if approx_sin else jnp.cos
+    if approx_sin:
+        sin_fn = functools.partial(_fast_sin, degree=sin_degree)
+        cos_fn = functools.partial(_fast_cos, degree=sin_degree)
+    else:
+        sin_fn, cos_fn = jnp.sin, jnp.cos
     x0 = coords_ref[:].astype(jnp.float32)
     out, saved = _fwd_pres(x0, p_refs, kinds, omegas, in_features,
                            compute_dtype, approx_sin,
-                           rff_features=rff_features, bt_ref=bt_ref)
+                           rff_features=rff_features, bt_ref=bt_ref,
+                           f32_mode=f32_mode, sin_degree=sin_degree)
 
     rows, lanes = out.shape
     tgt = tgt_ref[:].astype(jnp.float32)                      # (rows, 1)
@@ -374,11 +401,17 @@ def _grad_kernel(coords_ref, tgt_ref, scal_ref, *refs, kinds, omegas,
     limit = scal_ref[0:1, 0:1]                    # local valid rows, f32
     mask = ((row_f < limit) & (lane_ids < 1)).astype(jnp.float32)
     err = (out - tgt) * mask
-    loss_ref[...] += jnp.sum(err * err, axis=0, keepdims=True) * inv_n
-
-    g = err * (2.0 * inv_n)
+    if has_weight:
+        wv = w_ref[:].astype(jnp.float32)                     # (rows, 1)
+        loss_ref[...] += jnp.sum(err * err * wv, axis=0,
+                                 keepdims=True) * inv_n
+        g = err * (wv * (2.0 * inv_n))
+    else:
+        loss_ref[...] += jnp.sum(err * err, axis=0, keepdims=True) * inv_n
+        g = err * (2.0 * inv_n)
     _bwd_sweep(g, saved, kinds, omegas, p_refs, g_refs,
-               compute_dtype, sin_fn, cos_fn, rff_features)
+               compute_dtype, sin_fn, cos_fn, rff_features,
+               grad_mode=grad_mode)
 
 
 def fused_mse_grad_call(flat_params, coords_p, tgt_p, gscal,
@@ -386,7 +419,9 @@ def fused_mse_grad_call(flat_params, coords_p, tgt_p, gscal,
                         n_valid: int, raw_in_features: int,
                         compute_dtype_name: str = "float32",
                         interpret: bool = False, approx_sin: bool = False,
-                        bt=None):
+                        bt=None, wgt_p=None, f32_mode: str | None = None,
+                        grad_mode: str | None = "env",
+                        sin_degree: int = 11):
     """Invoke the grad-accumulation kernel on ONE row shard.
 
     ``gscal`` is a (1, 128) f32 block whose slot 0 holds the LOCAL number
@@ -413,6 +448,10 @@ def fused_mse_grad_call(flat_params, coords_p, tgt_p, gscal,
         pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [coords_p, tgt_p, gscal]
+    if wgt_p is not None:
+        in_specs.append(pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(wgt_p)
     rff_features = 0
     if bt is not None:
         rff_features = bt.shape[1]
@@ -436,7 +475,8 @@ def fused_mse_grad_call(flat_params, coords_p, tgt_p, gscal,
         _grad_kernel, kinds=kinds, omegas=omegas,
         in_features=raw_in_features, compute_dtype=compute_dtype,
         num_slots=ns, inv_n=1.0 / float(n_valid), approx_sin=approx_sin,
-        rff_features=rff_features)
+        rff_features=rff_features, has_weight=wgt_p is not None,
+        f32_mode=f32_mode, grad_mode=grad_mode, sin_degree=sin_degree)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -560,7 +600,8 @@ def make_sharded_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
                                       shard_rows: int,
                                       axis_name: str = "data",
                                       rff_b=None, approx_sin: bool = False,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      tier: dict | None = None):
     """Row-sharded whole-step fused training step, for use INSIDE a
     ``jax.shard_map`` over ``axis_name`` (VERDICT r4 item 2: the
     reference's own full-batch workload shape, run.py:135-137, previously
@@ -582,8 +623,12 @@ def make_sharded_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
     raw_d = cfg.in_features if rff_b is None else rff_b.shape[1]
     clip = float(train_cfg.grad_clip_norm)
     track_best = train_cfg.track_best
+    tier = tier or {}
+    tier_kw = dict(f32_mode=tier.get("f32_mode"),
+                   grad_mode=tier.get("grad_mode", "env"),
+                   sin_degree=tier.get("sin_degree", 11))
 
-    def step(state: FlatTrainState, coords_p, tgt_p):
+    def step(state: FlatTrainState, coords_p, tgt_p, wgt_p=None):
         idx = jax.lax.axis_index(axis_name)
         start = (idx * shard_rows).astype(jnp.float32)
         local_valid = jnp.clip(jnp.float32(n_valid) - start, 0.0,
@@ -593,7 +638,7 @@ def make_sharded_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
         loss_p, grads_p = fused_mse_grad_call(
             list(state.params), coords_p, tgt_p, gscal, cfg, block_rows,
             n_valid, raw_d, interpret=interpret, approx_sin=approx_sin,
-            bt=bt)
+            bt=bt, wgt_p=wgt_p, **tier_kw)
         loss = jax.lax.psum(loss_p, axis_name)
         grads = jax.lax.psum(grads_p, axis_name)
 
@@ -718,7 +763,7 @@ def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
                    grad_mode=tier.get("grad_mode", "env"),
                    sin_degree=tier.get("sin_degree", 11))
 
-    def step(state: FlatTrainState, coords_p, tgt_p):
+    def step(state: FlatTrainState, coords_p, tgt_p, wgt_p=None):
         t = state.step + 1
         tf = t.astype(jnp.float32)
         c1 = 1.0 - _B1 ** tf
@@ -733,14 +778,14 @@ def make_fused_mse_train_step(cfg: SirenSnakeTanhConfig, train_cfg,
                 coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip,
                 raw_d, flat_best=list(state.best_params),
                 interpret=interpret, approx_sin=approx_sin, bt=bt,
-                **tier_kw)
+                wgt_p=wgt_p, **tier_kw)
             best = tuple(best)
         else:
             loss, new_p, new_mu, new_nu = fused_mse_step_call(
                 list(state.params), list(state.mu), list(state.nu),
                 coords_p, tgt_p, scal, cfg, block_rows, n_valid, clip,
                 raw_d, interpret=interpret, approx_sin=approx_sin, bt=bt,
-                **tier_kw)
+                wgt_p=wgt_p, **tier_kw)
             best = state.best_params  # reference alias semantics
         pl_state, new_lr = plateau_update(
             PlateauState(best=state.plateau_best, num_bad=state.plateau_bad),

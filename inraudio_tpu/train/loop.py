@@ -164,12 +164,14 @@ def _as_train_state(carry, model: INRModel) -> TrainState:
 def fused_step_plan(model: INRModel, cfg: TrainConfig, n_rows: int,
                     has_weight: bool = False) -> int | None:
     """Row-tile size for the whole-step fused kernel, or None when the fit
-    cannot route through it (non-mse loss, loss weights, grid refresh, a
-    model without the fused-step context, or a VMEM-overflowing stack).
+    cannot route through it (non-mse loss, grid refresh, a model without
+    the fused-step context, or a VMEM-overflowing stack).  Per-row loss
+    WEIGHTS ride the kernel since r5 (the psychoacoustic mask streams in
+    like the targets — VERDICT r4 item 9).
     ``INRAUDIO_FUSED_STEP=0`` disables the path for A/B measurement."""
     import os
     ctx = model.fused_step_ctx
-    if ctx is None or has_weight:
+    if ctx is None:
         return None
     if cfg.loss_mode != "mse" or cfg.alpha != 0.0 or cfg.update_grid_every:
         return None
@@ -302,6 +304,12 @@ def fit(model: INRModel,
     n_dev = mesh.devices.size
     block = fused_step_plan(model, cfg, -(-coords.shape[0] // n_dev),
                             has_weight=weight is not None)
+    if block is not None and weight is not None:
+        # mean-1 normalisation over real rows (mix_loss weights arrive
+        # pre-normalised from shard_problem_arrays on the XLA path; the
+        # kernel path normalises here), zero-padded alongside the targets
+        w = np.asarray(weight, np.float32).reshape(-1)
+        weight_n = (w * (len(w) / max(float(np.sum(w)), 1e-12)))[:, None]
     if block is not None and n_dev == 1:
         from ..ops.pallas_siren_step import (flat_state_from_train_state,
                                              make_fused_mse_train_step,
@@ -312,10 +320,14 @@ def fit(model: INRModel,
         # avoids re-uploading the grid every scan round
         coords_d, targets_d = jnp.asarray(cp), jnp.asarray(tp)
         weight_d = None
+        if weight is not None:
+            wp = np.zeros((cp.shape[0], 1), np.float32)
+            wp[: len(weight_n)] = weight_n
+            weight_d = jnp.asarray(wp)
         fstep = make_fused_mse_train_step(
             ctx["cfg"], cfg, n_valid, block, rff_b=ctx["rff_b"],
             approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
-        step_fn = lambda s, c, t, w: fstep(s, c, t)
+        step_fn = lambda s, c, t, w: fstep(s, c, t, w)
         carry = flat_state_from_train_state(
             state, ctx["cfg"], rff=ctx["rff_b"] is not None)
     elif block is not None:
@@ -333,15 +345,26 @@ def fit(model: INRModel,
         coords_d = jax.device_put(jnp.asarray(cp), row_sh)
         targets_d = jax.device_put(jnp.asarray(tp), row_sh)
         weight_d = None
+        if weight is not None:
+            wp = np.zeros((cp.shape[0], 1), np.float32)
+            wp[: len(weight_n)] = weight_n
+            weight_d = jax.device_put(jnp.asarray(wp), row_sh)
         sstep = make_sharded_fused_mse_train_step(
             ctx["cfg"], cfg, n_valid, block, shard_rows, axis_name=axis,
             rff_b=ctx["rff_b"], approx_sin=ctx["approx_sin"],
             interpret=ctx["interpret"])
-        smap = jax.shard_map(sstep, mesh=mesh,
-                             in_specs=(P(), P(axis), P(axis)),
-                             out_specs=(P(), (P(), P())),
-                             check_vma=False)
-        step_fn = lambda s, c, t, w: smap(s, c, t)
+        if weight is not None:
+            smap = jax.shard_map(sstep, mesh=mesh,
+                                 in_specs=(P(), P(axis), P(axis), P(axis)),
+                                 out_specs=(P(), (P(), P())),
+                                 check_vma=False)
+            step_fn = lambda s, c, t, w: smap(s, c, t, w)
+        else:
+            smap = jax.shard_map(lambda s, c, t: sstep(s, c, t), mesh=mesh,
+                                 in_specs=(P(), P(axis), P(axis)),
+                                 out_specs=(P(), (P(), P())),
+                                 check_vma=False)
+            step_fn = lambda s, c, t, w: smap(s, c, t)
         carry = flat_state_from_train_state(
             state, ctx["cfg"], rff=ctx["rff_b"] is not None)
     else:

@@ -33,6 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# Both arms must train on the SAME step implementation: weighted fits are
+# excluded from the whole-step fused kernel (loop.fused_step_plan
+# has_weight gate), so with the default routing the unmasked arm would
+# ride the fused step (bf16x2 grads) while the masked arm takes the
+# two-kernel path (uniform precision) — a precision confound, not a mask
+# A/B.  Pin both to the two-kernel path.
+os.environ["INRAUDIO_FUSED_STEP"] = "0"
+
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 

@@ -451,6 +451,7 @@ class TestRunnerKnobSurface:
             rec = json.load(f)
         assert rec["num_channels"] == 2
 
+    @pytest.mark.slow
     def test_adaptive_mdct_through_train(self, tmp_path):
         """method='mdct', adaptive=True end to end (VERDICT r2 item 5)."""
         from scipy.io import wavfile

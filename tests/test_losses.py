@@ -77,6 +77,7 @@ class TestSTFTLoss:
                                w_sc=1.0, w_log_mag=0.0))
         np.testing.assert_allclose(loss, 1.0, atol=1e-4)
 
+    @pytest.mark.slow
     def test_multi_resolution_mean(self):
         x, y = _pair(8192)
         mr = float(multi_resolution_stft_loss(jnp.asarray(y), jnp.asarray(x)))

@@ -202,6 +202,7 @@ class TestKAN:
         np.testing.assert_allclose(np.asarray(bases.sum(-1)), 1.0, atol=1e-5)
         assert np.all(np.asarray(bases) >= -1e-7)
 
+    @pytest.mark.slow
     def test_curve2coeff_interpolates(self):
         cfg = KANConfig()
         p = kan_linear_init(KEY, cfg, 1, 1)
@@ -231,6 +232,7 @@ class TestKAN:
         # grid is a buffer: stop_gradient'd in apply
         np.testing.assert_allclose(np.asarray(grads["layers"][0]["grid"]), 0.0)
 
+    @pytest.mark.slow
     def test_update_grid_preserves_output(self):
         # kan.py:168-215: re-gridding refits coefficients to the SAME curve
         cfg = KANConfig()
@@ -352,6 +354,7 @@ def test_int16_per_last_axis():
     assert err16 < err_fp16, (err16, err_fp16)
 
 
+@pytest.mark.slow
 def test_int4_pack_roundtrip():
     """int4: two nibbles per byte, error bounded by scale/2, odd counts."""
     from inraudio_tpu.models import dequantize_params, quantize_params
@@ -371,6 +374,7 @@ def test_int4_pack_roundtrip():
                                    atol=scale / 2 + 1e-7)
 
 
+@pytest.mark.slow
 def test_int4_per_leading_axis_scales():
     from inraudio_tpu.models import dequantize_params, quantize_params
     key = jax.random.PRNGKey(6)

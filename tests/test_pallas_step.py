@@ -94,6 +94,55 @@ def test_step_matches_autodiff_with_clip():
 
 
 @pytest.mark.slow
+def test_step_matches_autodiff_weighted():
+    """r5 (VERDICT r4 item 9): per-row loss weights ride the fused step —
+    the psychoacoustic-mask path no longer falls to the two-kernel route.
+    Weighted mse + clip + Adam must match XLA autodiff exactly."""
+    tc = TrainConfig(total_steps=4, grad_clip_norm=1.0, plateau_patience=2)
+    model = build_model("mlp", CFG, fused=True, interpret=True)
+    n, block = 700, 256
+    coords, targets = _problem(n)
+    rng = np.random.default_rng(3)
+    w = (0.8 + 0.2 * rng.random(n)).astype(np.float32)
+    w_n = w * (n / w.sum())                      # mean-1 over real rows
+    state = init_train_state(model, jax.random.PRNGKey(0), tc)
+
+    ref_step = make_train_step(model, tc)
+    s_ref = state
+    ref_hist = []
+    for _ in range(4):
+        s_ref, (l, lr) = ref_step(s_ref, jnp.asarray(coords),
+                                  jnp.asarray(targets),
+                                  jnp.asarray(w_n[:, None]))
+        ref_hist.append(float(l))
+
+    coords_p, tgt_p, nv = pad_step_inputs(coords, targets, block)
+    wp = np.zeros((coords_p.shape[0], 1), np.float32)
+    wp[:n, 0] = w_n
+    fstep = make_fused_mse_train_step(CFG, tc, nv, block, interpret=True)
+    fs = flat_state_from_train_state(state, CFG)
+    for i in range(4):
+        fs, (l, lr) = fstep(fs, coords_p, tgt_p, jnp.asarray(wp))
+        assert abs(ref_hist[i] - float(l)) < 1e-6 * max(1.0, ref_hist[i])
+    _assert_state_close(s_ref, train_state_from_flat(fs, CFG))
+
+
+@pytest.mark.slow
+def test_fit_routes_weighted_through_fused_step():
+    """fit() with a loss weight now plans a fused block (the has_weight
+    exclusion is gone) and converges on the kernel path."""
+    from inraudio_tpu.train.loop import fit
+    model = build_model("mlp", CFG, fused=True, interpret=True)
+    tc = TrainConfig(total_steps=60, scan_chunk=30, learning_rate=1e-3,
+                     grad_clip_norm=1.0)
+    assert fused_step_plan(model, tc, 700, has_weight=True) is not None
+    coords, targets = _problem(700)
+    w = np.ones(700, np.float32)
+    r = fit(model, coords, targets, tc, weight=w)
+    assert r.loss_history[-1] < r.loss_history[0]
+
+
+@pytest.mark.slow
 def test_step_matches_autodiff_no_clip_single_tile():
     tc = TrainConfig(total_steps=3, grad_clip_norm=0.0)
     s_ref, s_f, _, _ = _run_both(CFG, tc, n=512, block=512, steps=3)
@@ -134,6 +183,7 @@ def test_step_matches_autodiff_h256_production_shape():
     _assert_state_close(s_ref, s_f, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_track_best_false_keeps_initial_best():
     tc = TrainConfig(total_steps=3, track_best=False)
     _, s_f, _, _ = _run_both(CFG, tc, steps=3)
@@ -176,7 +226,9 @@ def test_fused_step_plan_gating():
     assert fused_step_plan(model, TrainConfig(), 512) is not None
     assert fused_step_plan(model, TrainConfig(loss_mode="mae"), 512) is None
     assert fused_step_plan(model, TrainConfig(alpha=0.1), 512) is None
-    assert fused_step_plan(model, TrainConfig(), 512, has_weight=True) is None
+    # r5: per-row weights ride the fused step (VERDICT r4 item 9)
+    assert fused_step_plan(model, TrainConfig(), 512, has_weight=True) \
+        is not None
     xla_model = build_model("mlp", CFG)
     assert fused_step_plan(xla_model, TrainConfig(), 512) is None
     import os

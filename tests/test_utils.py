@@ -71,6 +71,7 @@ class TestPlots:
     """Smoke tests for the artifact plots (reference run.py:323-354,
     utils.py:25-47) — files exist and are non-empty PNGs."""
 
+    @pytest.mark.slow
     def test_all_plot_functions(self, tmp_path):
         from inraudio_tpu.eval.plots import (plot_loss_history,
                                              plot_waveform_comparison,
