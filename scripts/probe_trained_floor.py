@@ -35,30 +35,35 @@ from inraudio_tpu.ops.pallas_siren import fused_siren_apply  # noqa: E402
 from inraudio_tpu.train.checkpoint import load_checkpoint  # noqa: E402
 from inraudio_tpu.train.loop import TrainConfig, init_train_state  # noqa: E402
 
+# (name, fused_siren_apply kwargs, block_rows) — tiers carrying the
+# precise-sin lowering need smaller tiles: jnp.sin's scratch at
+# (4096, 256) blew the 16 MB scoped-vmem budget (23.66M measured)
 TIERS = (
     ("bf16+deg7 (tier1, 43dB)", dict(approx_sin=True, sin_poly_degree=7,
-                                     compute_dtype=jnp.bfloat16)),
+                                     compute_dtype=jnp.bfloat16), 4096),
     ("bf16x3+deg7+mixed (tier2)", dict(approx_sin=True, sin_poly_degree=7,
-                                       mixed_matmul=True)),
+                                       mixed_matmul=True), 4096),
     ("bf16x2+deg7+mixed (cand)", dict(approx_sin=True, sin_poly_degree=7,
-                                      mixed_matmul=True, f32_mode="bf16x2")),
+                                      mixed_matmul=True, f32_mode="bf16x2"),
+     4096),
     ("bf16x2+deg9+mixed (cand)", dict(approx_sin=True, sin_poly_degree=9,
-                                      mixed_matmul=True, f32_mode="bf16x2")),
-    ("bf16x3+deg9 (tier3, 90dB)", dict(approx_sin=True, sin_poly_degree=9)),
-    # r5 high-omega mixed tiers: layer 0 on the precise sin (its phase
-    # error at omega0~2e4 is what floors every uniform approx tier at
-    # 43-49 dB), polynomial on the hidden omega=30 layers
+                                      mixed_matmul=True, f32_mode="bf16x2"),
+     4096),
+    ("bf16x3+deg9 (tier3, 90dB)", dict(approx_sin=True, sin_poly_degree=9),
+     4096),
+    ("bf16x3+deg11 (tier4)", dict(approx_sin=True, sin_poly_degree=11),
+     4096),
+    # r5 high-omega mixed tiers: layer 0 on the precise sin, polynomial on
+    # the hidden omega=30 layers
     ("L0exact+deg7+bf16 (r5)", dict(approx_sin=True, sin_poly_degree=7,
                                     compute_dtype=jnp.bfloat16,
-                                    exact_first_sin=True)),
+                                    exact_first_sin=True), 2048),
     ("L0exact+deg7+x2+mixed (r5)", dict(approx_sin=True, sin_poly_degree=7,
                                         mixed_matmul=True, f32_mode="bf16x2",
-                                        exact_first_sin=True)),
+                                        exact_first_sin=True), 2048),
     ("L0exact+deg9 (r5)", dict(approx_sin=True, sin_poly_degree=9,
-                               exact_first_sin=True)),
-    ("L0exact+deg11 (r5)", dict(approx_sin=True, sin_poly_degree=11,
-                                exact_first_sin=True)),
-    ("exact-sin f32 (fused)", dict(approx_sin=False)),
+                               exact_first_sin=True), 2048),
+    ("exact-sin f32 (fused)", dict(approx_sin=False), 2048),
 )
 
 
@@ -89,9 +94,9 @@ def main() -> None:
     sig = float(np.sum(exact ** 2))
     # (b) throughput anchor: 1M rows (the BASELINE.md decode-row shape)
     coords1m = jnp.linspace(-1.0, 1.0, 1_000_000).reshape(-1, 1)
-    for name, kw in TIERS:
-        fn = jax.jit(lambda p, c, k=dict(kw): fused_siren_apply(
-            p, cfg, c, block_rows=4096, **k))
+    for name, kw, block in TIERS:
+        fn = jax.jit(lambda p, c, k=dict(kw), b=block: fused_siren_apply(
+            p, cfg, c, block_rows=b, **k))
         out = np.asarray(fn(params, grid))
         floor = 10 * np.log10(sig / max(float(np.sum((out - exact) ** 2)),
                                         1e-30))
