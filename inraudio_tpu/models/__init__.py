@@ -12,7 +12,7 @@ from typing import Any, Callable
 
 import jax
 
-from .activations import snake_apply, snake_init
+from .activations import sine_activation, snake_apply, snake_init
 from .encodings import (num_frequencies_nyquist, posenc_nerf,
                         posenc_output_dim, rff_apply, rff_init,
                         rff_output_dim)

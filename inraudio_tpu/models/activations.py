@@ -31,3 +31,15 @@ def snake_apply(a: jax.Array, x: jax.Array) -> jax.Array:
     """
     x = x.astype(jnp.float32)
     return x + (0.5 / a) * (1.0 - jnp.cos(2.0 * a * x))
+
+
+def sine_activation(x: jax.Array, omega: float = 30.0) -> jax.Array:
+    """Fixed-frequency sine activation ``sin(omega * x)``.
+
+    Parity with the reference's ``SineActivation`` (models.py:80-82 — a
+    3-line module the reference defines but never calls; ported for a
+    complete symbol inventory).  The production sine layers
+    (models/siren.py SineLayer) fold omega into their init scaling instead;
+    use this only as a drop-in functional activation.
+    """
+    return jnp.sin(omega * x.astype(jnp.float32))

@@ -144,6 +144,17 @@ class TestSnake:
                                    np.asarray(resid), atol=1e-5)
 
 
+def test_sine_activation_parity():
+    """Reference SineActivation (models.py:80-82): sin(30 * x) — the last
+    unported symbol, dead in the reference too."""
+    from inraudio_tpu.models import sine_activation
+    x = jnp.linspace(-2, 2, 64)
+    np.testing.assert_allclose(np.asarray(sine_activation(x)),
+                               np.sin(30 * np.asarray(x)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sine_activation(x, omega=7.0)),
+                               np.sin(7 * np.asarray(x)), atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Encodings
 # ---------------------------------------------------------------------------
