@@ -69,6 +69,18 @@ class TrainConfig:
     # virtual-device CPU test meshes where XLA's in-process collectives have
     # a 40 s rendezvous termination timeout.
     scan_chunk: int = 500
+    # Quality-scheduled training precision (fused-step path only): rounds
+    # start on the cheap tier (bf16x2 fwd matmuls, 1-pass bf16 grads,
+    # deg-7 sin — see schedule_tiers) and permanently escalate to the full
+    # tier once the round loss crosses the floor implied by schedule_db.
+    # Measured r5 (bench_logs_r5/12+13): +6.1 dB at the same strict 30 s
+    # budget on the h=256 full-batch shape (89.6 -> 134.3 steps/s, the
+    # whole budget rides the cheap tier); neutral on the fast-converging
+    # multi-INR headline (escalates after one round).  Off by default:
+    # the escalation is a host-side re-dispatch, so fits dominated by
+    # sub-second rounds pay an extra compile for nothing.
+    precision_schedule: bool = False
+    schedule_db: float = 45.0
 
 
 class TrainState(NamedTuple):
@@ -304,6 +316,7 @@ def fit(model: INRModel,
     n_dev = mesh.devices.size
     block = fused_step_plan(model, cfg, -(-coords.shape[0] // n_dev),
                             has_weight=weight is not None)
+    step_fn_cheap = None  # set by the fused branches when cfg.precision_schedule
     if block is not None and weight is not None:
         # mean-1 normalisation over real rows (mix_loss weights arrive
         # pre-normalised from shard_problem_arrays on the XLA path; the
@@ -328,6 +341,12 @@ def fit(model: INRModel,
             ctx["cfg"], cfg, n_valid, block, rff_b=ctx["rff_b"],
             approx_sin=ctx["approx_sin"], interpret=ctx["interpret"])
         step_fn = lambda s, c, t, w: fstep(s, c, t, w)
+        if cfg.precision_schedule:
+            fstep_c = make_fused_mse_train_step(
+                ctx["cfg"], cfg, n_valid, block, rff_b=ctx["rff_b"],
+                approx_sin=ctx["approx_sin"], interpret=ctx["interpret"],
+                tier=schedule_tiers()[0])
+            step_fn_cheap = lambda s, c, t, w: fstep_c(s, c, t, w)
         carry = flat_state_from_train_state(
             state, ctx["cfg"], rff=ctx["rff_b"] is not None)
     elif block is not None:
@@ -353,18 +372,25 @@ def fit(model: INRModel,
             ctx["cfg"], cfg, n_valid, block, shard_rows, axis_name=axis,
             rff_b=ctx["rff_b"], approx_sin=ctx["approx_sin"],
             interpret=ctx["interpret"])
-        if weight is not None:
-            smap = jax.shard_map(sstep, mesh=mesh,
-                                 in_specs=(P(), P(axis), P(axis), P(axis)),
-                                 out_specs=(P(), (P(), P())),
-                                 check_vma=False)
-            step_fn = lambda s, c, t, w: smap(s, c, t, w)
-        else:
-            smap = jax.shard_map(lambda s, c, t: sstep(s, c, t), mesh=mesh,
-                                 in_specs=(P(), P(axis), P(axis)),
-                                 out_specs=(P(), (P(), P())),
-                                 check_vma=False)
-            step_fn = lambda s, c, t, w: smap(s, c, t)
+        def _wrap_sharded(stp):
+            if weight is not None:
+                sm = jax.shard_map(stp, mesh=mesh,
+                                   in_specs=(P(), P(axis), P(axis), P(axis)),
+                                   out_specs=(P(), (P(), P())),
+                                   check_vma=False)
+                return lambda s, c, t, w: sm(s, c, t, w)
+            sm = jax.shard_map(lambda s, c, t: stp(s, c, t), mesh=mesh,
+                               in_specs=(P(), P(axis), P(axis)),
+                               out_specs=(P(), (P(), P())),
+                               check_vma=False)
+            return lambda s, c, t, w: sm(s, c, t)
+
+        step_fn = _wrap_sharded(sstep)
+        if cfg.precision_schedule:
+            step_fn_cheap = _wrap_sharded(make_sharded_fused_mse_train_step(
+                ctx["cfg"], cfg, n_valid, block, shard_rows, axis_name=axis,
+                rff_b=ctx["rff_b"], approx_sin=ctx["approx_sin"],
+                interpret=ctx["interpret"], tier=schedule_tiers()[0]))
         carry = flat_state_from_train_state(
             state, ctx["cfg"], rff=ctx["rff_b"] is not None)
     else:
@@ -373,13 +399,25 @@ def fit(model: INRModel,
         step_fn = make_train_step(model, cfg)
         carry = state
 
-    @functools.partial(jax.jit, donate_argnums=(0,),
-                       static_argnames=("length",))
-    def run(state, coords, targets, weight, length):
-        def body(s, _):
-            s, (loss, lr) = step_fn(s, coords, targets, weight)
-            return s, (loss, lr)
-        return jax.lax.scan(body, state, None, length=length)
+    def _mk_run(stp):
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("length",))
+        def run(state, coords, targets, weight, length):
+            def body(s, _):
+                s, (loss, lr) = stp(s, coords, targets, weight)
+                return s, (loss, lr)
+            return jax.lax.scan(body, state, None, length=length)
+        return run
+
+    run = _mk_run(step_fn)
+    run_cheap = _mk_run(step_fn_cheap) if step_fn_cheap is not None else None
+    use_cheap = run_cheap is not None
+    sched_thr = float("inf")
+    if use_cheap:
+        # escalate once the round loss crosses the cheap tier's floor:
+        # loss below power/10^(db/10) means the fit has reached schedule_db
+        power = float(np.mean(np.asarray(targets, np.float32) ** 2))
+        sched_thr = power / 10.0 ** (cfg.schedule_db / 10.0)
 
     chunk = max(1, min(cfg.scan_chunk, cfg.total_steps))
     n_rounds = -(-cfg.total_steps // chunk)
@@ -395,10 +433,12 @@ def fit(model: INRModel,
         # one) so the trace holds steady-state step time, not compilation
         profiled = profile_dir is not None and rounds == min(1, n_rounds - 1)
         with profile_trace(profile_dir, enabled=profiled):
-            carry, (lh, lrh) = run(carry, coords_d, targets_d, weight_d,
-                                   length=n)
+            carry, (lh, lrh) = (run_cheap if use_cheap else run)(
+                carry, coords_d, targets_d, weight_d, length=n)
             if profiled:
                 jax.block_until_ready(carry.params)
+        if use_cheap and float(lh[-1]) < sched_thr:
+            use_cheap = False  # permanent escalation to the full tier
         loss_chunks.append(lh)
         lr_chunks.append(lrh)
         done += n

@@ -143,6 +143,29 @@ def test_fit_routes_weighted_through_fused_step():
 
 
 @pytest.mark.slow
+def test_precision_schedule_converges_and_escalates():
+    """r5 (VERDICT r4 item 3): fit(precision_schedule=True) starts on the
+    cheap tier (bf16x2/bf16/deg-7) and escalates when the round loss
+    crosses the schedule_db floor; the scheduled fit must converge to the
+    same quality class as the unscheduled one (measured on TPU: +6.1 dB
+    at the strict 30 s budget on the h=256 full-batch shape,
+    bench_logs_r5/13_full256_sched.log — on CPU interpret we assert
+    convergence, not speed)."""
+    from inraudio_tpu.train.loop import fit
+    model = build_model("mlp", SirenSnakeTanhConfig(
+        hidden_features=32, first_omega_0=30.0, num_sine=1, num_snake=1),
+        fused=True, approx_sin=True, interpret=True)
+    n = 1500
+    coords = np.linspace(-1, 1, n, dtype=np.float32)[:, None]
+    targets = np.sin(2 * np.pi * 3 * coords).astype(np.float32)
+    tc = TrainConfig(total_steps=150, learning_rate=2e-3, grad_clip_norm=1.0,
+                     scan_chunk=50, precision_schedule=True,
+                     schedule_db=20.0)
+    r = fit(model, coords, targets, tc)
+    assert r.loss_history[-1] < 1e-4, r.loss_history[-1]
+
+
+@pytest.mark.slow
 def test_step_matches_autodiff_no_clip_single_tile():
     tc = TrainConfig(total_steps=3, grad_clip_norm=0.0)
     s_ref, s_f, _, _ = _run_both(CFG, tc, n=512, block=512, steps=3)
