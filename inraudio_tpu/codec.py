@@ -641,13 +641,30 @@ def decode(payload: dict[str, Any], fused: bool | None = None,
                                max_chunks_per_batch)
     meta, model, params = _payload_model_params(payload, fused)
     coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
-    fit = meta.get("fit_snr_db")
+    fit = _routing_fit_snr(meta)
     if model.decode_apply is not None and fit is not None:
         fn = jax.jit(jax.vmap(lambda p: model.decode_apply(p, coords, fit)))
     else:
         fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
     return _stitch_payload(payload, fn, params, upsample,
                            max_chunks_per_batch)
+
+
+# The header's fit_snr_db is an ESTIMATE from per-chunk best train losses:
+# it ignores crossfade stitching (decorrelated chunk errors average down in
+# the overlaps, so the true reconstruction usually sits ABOVE the estimate)
+# and is test-bounded to +-6 dB of the measured value
+# (tests/test_codec.py::test_meta_trained_forward_and_fit_snr).  Tier
+# routing must be safe against the underestimate direction — a fit 6 dB
+# better than its header could otherwise land on a tier whose floor sits
+# at its true quality — so routing inflates the estimate by the bound
+# before applying auto_decode_kwargs' own margin (ADVICE r4).
+_FIT_EST_SLACK_DB = 6.0
+
+
+def _routing_fit_snr(meta: dict[str, Any]) -> float | None:
+    fit = meta.get("fit_snr_db")
+    return None if fit is None else float(fit) + _FIT_EST_SLACK_DB
 
 
 def _decode_grid(n0: int, u: int) -> np.ndarray:
@@ -1053,7 +1070,7 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
     else:
         meta, model, params = _payload_model_params(payload, fused)
         coords = _decode_grid(meta["chunk_length"], 1)
-        fit = meta.get("fit_snr_db")
+        fit = _routing_fit_snr(meta)
         if model.decode_apply is not None and fit is not None:
             fn = jax.jit(jax.vmap(
                 lambda p: model.decode_apply(p, coords, fit)))
