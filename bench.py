@@ -63,7 +63,8 @@ from inraudio_tpu.parallel import (make_mesh, replicated_sharding,  # noqa: E402
 from inraudio_tpu.train import (MultiINRConfig, TrainConfig,  # noqa: E402
                                 init_train_state, make_train_step)
 from inraudio_tpu.train.multi_inr import (MultiINRResult,  # noqa: E402
-                                          chunk_signal, multi_inr_decode)
+                                          chunk_eval_fn, chunk_signal,
+                                          multi_inr_decode)
 from inraudio_tpu.utils.observability import MetricsLogger  # noqa: E402
 
 WAV = os.environ.get("BENCH_WAV", "/root/reference/gt_bach.wav")
@@ -401,7 +402,8 @@ def bench_multi() -> float:
         # with ITS throughput — at high fit quality the polynomial floor
         # starts to bind.
         from inraudio_tpu.models import INRModel
-        from inraudio_tpu.ops.pallas_siren import fused_siren_apply
+        from inraudio_tpu.ops.pallas_siren import (fused_siren_apply,
+                                                   fused_siren_apply_stacked)
 
         def mk(approx):
             return INRModel(
@@ -409,6 +411,13 @@ def bench_multi() -> float:
                 init=model.init,
                 apply=lambda p, c: fused_siren_apply(
                     p, model_cfg, c, block_rows=2048, approx_sin=approx,
+                    interpret=_INTERPRET),
+                # multi-chunk stacked kernel: zero row padding on the
+                # 512-row chunks + compact packed output (the vmapped
+                # single-chunk kernel pads each chunk to its tile and pays
+                # a device relayout copy — BASELINE.md r3 trace rows)
+                apply_stacked=lambda P, c: fused_siren_apply_stacked(
+                    P, model_cfg, c, approx_sin=approx,
                     interpret=_INTERPRET))
         candidates = [("approx-sin", mk(True)), ("exact-sin", mk(False))]
     else:
@@ -419,7 +428,7 @@ def bench_multi() -> float:
     for name, dm in candidates:
         rec = multi_inr_decode(dm, res)
         snr = float(calculate_snr(signal, rec))
-        decode = jax.jit(jax.vmap(lambda p: dm.apply(p, coords)))
+        decode = chunk_eval_fn(dm, coords)
         msps = measure_decode(decode, (params,), k * n)
         log(f"  decode[{name}]: {msps:.1f} Msamples/s, SNR {snr:.2f} dB")
         if best is None or snr > best[1] + 0.3:

@@ -37,6 +37,7 @@ from .models import (SirenSnakeTanhConfig, build_model,
                      dequantize_params, param_bytes, quantize_params)
 from .train.loop import TrainConfig
 from .train.multi_inr import (MultiINRConfig, batched_chunk_eval,
+                              chunk_eval_fn,
                               chunk_signal, decode_chunk_range,
                               multi_inr_fit_many, stitch_chunks)
 from .train.optim import AdamConfig, adam_init, adam_update
@@ -642,10 +643,7 @@ def decode(payload: dict[str, Any], fused: bool | None = None,
     meta, model, params = _payload_model_params(payload, fused)
     coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
     fit = _routing_fit_snr(meta)
-    if model.decode_apply is not None and fit is not None:
-        fn = jax.jit(jax.vmap(lambda p: model.decode_apply(p, coords, fit)))
-    else:
-        fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    fn = chunk_eval_fn(model, coords, fit)
     return _stitch_payload(payload, fn, params, upsample,
                            max_chunks_per_batch)
 
@@ -1071,11 +1069,7 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
         meta, model, params = _payload_model_params(payload, fused)
         coords = _decode_grid(meta["chunk_length"], 1)
         fit = _routing_fit_snr(meta)
-        if model.decode_apply is not None and fit is not None:
-            fn = jax.jit(jax.vmap(
-                lambda p: model.decode_apply(p, coords, fit)))
-        else:
-            fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+        fn = chunk_eval_fn(model, coords, fit)
     sr = meta["sample_rate"]
     n0 = meta["chunk_length"]
     c = int(meta.get("num_channels", 1))
@@ -1105,7 +1099,7 @@ def decode_stream(payload: dict[str, Any], block_s: float = 1.0,
         fn, params = _modulated_decode_fn(payload, coords)
     else:
         _, model, params = _payload_model_params(payload, fused)
-        fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+        fn = chunk_eval_fn(model, coords)
     c = int(meta.get("num_channels", 1))
     k = meta["num_chunks"]
     scales = np.asarray(payload["scales"], np.float32)

@@ -55,6 +55,16 @@ class INRModel:
     # fwd+bwd+clip+Adam kernel when the model fits the VMEM gate
     # (step_supported); everything else falls back to ``apply`` + autodiff.
     fused_step_ctx: dict[str, Any] | None = None
+    # Optional multi-chunk stacked evals over a chunk population sharing
+    # ONE coordinate grid (the multi-INR decode shape): (stacked_params,
+    # coords) -> (k, n, 1), and the quality-gated variant taking
+    # fit_snr_db.  Set by the fused mlp branch; zero row padding + compact
+    # output vs vmapping ``apply`` (ops/pallas_siren._stack_kernel_multi).
+    # Both return None for unsupported shapes — gate with
+    # ``ops.pallas_siren.stacked_supported`` and fall back to vmap.
+    apply_stacked: Callable[[Any, jax.Array], jax.Array] | None = None
+    decode_apply_stacked: (Callable[[Any, jax.Array, float], jax.Array]
+                           | None) = None
 
 
 def build_model(arch: str, config: Any = None, fused: bool = False,
@@ -87,7 +97,8 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
             # ``interpret=True`` runs the kernels in the Pallas interpreter
             # (CPU-executable — used by the virtual-device sharding tests)
             from ..ops.pallas_siren import (auto_decode_kwargs,
-                                            fused_siren_apply)
+                                            fused_siren_apply,
+                                            fused_siren_apply_stacked)
             from ..ops.pallas_siren_train import fused_siren_train_apply
             name = ("siren_snake_tanh_fused_rff" if rff_b is not None
                     else "siren_snake_tanh_fused")
@@ -99,6 +110,13 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
                 return fused_siren_apply(p, _cfg, c, interpret=interpret,
                                          rff_b=_rff, **kw)
 
+            def _decode_stacked(P, c, fit_snr_db, _cfg=cfg):
+                kw = auto_decode_kwargs(
+                    fit_snr_db,
+                    first_omega_0=getattr(_cfg, "first_omega_0", None))
+                return fused_siren_apply_stacked(P, _cfg, c,
+                                                 interpret=interpret, **kw)
+
             return INRModel(
                 name=name, config=cfg,
                 init=lambda key: siren_snake_tanh_init(key, cfg),
@@ -108,7 +126,15 @@ def build_model(arch: str, config: Any = None, fused: bool = False,
                 decode_apply=_decode,
                 fused_step_ctx=dict(cfg=cfg, rff_b=rff_b,
                                     approx_sin=approx_sin,
-                                    interpret=interpret))
+                                    interpret=interpret),
+                # stacked evals fold the RFF encoding nowhere — RFF models
+                # return None via the in_features gate and vmap instead
+                apply_stacked=(None if rff_b is not None else
+                               lambda P, c: fused_siren_apply_stacked(
+                                   P, cfg, c, interpret=interpret,
+                                   approx_sin=approx_sin)),
+                decode_apply_stacked=(None if rff_b is not None
+                                      else _decode_stacked))
         if rff_b is not None:
             return INRModel(
                 name="siren_snake_tanh_rff", config=cfg,

@@ -222,6 +222,69 @@ def _rff_features_in_kernel(x, bt, in_features, sin_fn, cos_fn):
     return cos_fn(v), sin_fn(v)
 
 
+def _run_layers(x, flat, kinds, omegas, in_features, compute_dtype,
+                *, approx_sin=False, sin_poly_degree=11, mixed_matmul=False,
+                f32_mode=None, exact_first_sin=False, bt=None,
+                rff_features=0):
+    """The in-VMEM layer stack shared by every apply kernel.
+
+    ``flat`` is the in-register parameter sequence [w0, b0, (a0?), w1, ...]
+    (already loaded from refs — the single-chunk kernel reads whole blocks,
+    the multi-chunk kernel row-slices one chunk's parameters per call).
+    Returns the final (rows, out_lanes) activation in f32."""
+    if approx_sin:
+        sin_fn = functools.partial(_fast_sin, degree=sin_poly_degree)
+        cos_fn = functools.partial(_fast_cos, degree=sin_poly_degree)
+    else:
+        sin_fn, cos_fn = jnp.sin, jnp.cos
+    sin0_fn = jnp.sin if exact_first_sin else sin_fn
+    cos0_fn = jnp.cos if exact_first_sin else cos_fn
+
+    ri = 0
+    for li, kind in enumerate(kinds):
+        w = flat[ri]
+        b = flat[ri + 1]             # (1, out_f)
+        ri += 2
+        if li == 0 and rff_features:
+            cv, sv = _rff_features_in_kernel(x, bt, in_features,
+                                             sin0_fn, cos0_fn)
+            dims = (((1,), (0,)), ((), ()))
+            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype,
+                               mode=f32_mode)
+                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype,
+                                 mode=f32_mode)
+                   + b.astype(jnp.float32))
+        elif li == 0:
+            # tiny-in first layer: exact f32 VPU multiply-adds
+            pre = b.astype(jnp.float32)
+            for d in range(in_features):
+                pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
+        else:
+            # mixed_matmul: non-sine layers take a single bf16 MXU pass —
+            # their error is NOT omega-amplified (sine layers' is), so the
+            # output floor stays near the uniform-precision one while the
+            # matmul passes drop from 3 to 1 on half the stack (decode-only
+            # lever; quality-gated per model in eval.decode)
+            dt = (jnp.bfloat16 if mixed_matmul
+                  and kind in ("linear_snake", "linear_tanh", "linear_last")
+                  else compute_dtype)
+            pre = _kernel_dot(x, w, (((1,), (0,)), ((), ())),
+                              dt, mode=f32_mode) + b.astype(jnp.float32)
+        if kind == "sine_first":
+            x = sin0_fn(omegas[li] * pre)
+        elif kind == "sine":
+            x = sin_fn(omegas[li] * pre)
+        elif kind == "linear_snake":
+            a = flat[ri].astype(jnp.float32)  # (1, out_f)
+            ri += 1
+            x = pre + (0.5 / a) * (1.0 - cos_fn(2.0 * a * pre))
+        elif kind == "linear_tanh":
+            x = jnp.tanh(pre)
+        else:  # linear_last
+            x = pre
+    return x
+
+
 def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
                   compute_dtype, compact_out=False, approx_sin=False,
                   rff_features=0, sin_poly_degree=11, mixed_matmul=False,
@@ -248,60 +311,18 @@ def _stack_kernel(coords_ref, *refs, kinds, omegas, in_features,
     """
     out_ref = refs[-1]
     refs = refs[:-1]
-    if approx_sin:
-        sin_fn = functools.partial(_fast_sin, degree=sin_poly_degree)
-        cos_fn = functools.partial(_fast_cos, degree=sin_poly_degree)
-    else:
-        sin_fn, cos_fn = jnp.sin, jnp.cos
     bt_ref = None
     if rff_features:
         bt_ref, refs = refs[0], refs[1:]
-    sin0_fn = jnp.sin if exact_first_sin else sin_fn
-    cos0_fn = jnp.cos if exact_first_sin else cos_fn
 
-    x = coords_ref[:].astype(jnp.float32)  # (rows, in_pad)
-    ri = 0
-    for li, kind in enumerate(kinds):
-        w = refs[ri][:]
-        b = refs[ri + 1][:]          # (1, out_f)
-        ri += 2
-        if li == 0 and rff_features:
-            cv, sv = _rff_features_in_kernel(x, bt_ref[:], in_features,
-                                             sin0_fn, cos0_fn)
-            dims = (((1,), (0,)), ((), ()))
-            pre = (_kernel_dot(cv, w[:rff_features], dims, compute_dtype,
-                               mode=f32_mode)
-                   + _kernel_dot(sv, w[rff_features:], dims, compute_dtype,
-                                 mode=f32_mode)
-                   + b.astype(jnp.float32))
-        elif li == 0:
-            # tiny-in first layer: exact f32 VPU multiply-adds
-            pre = b.astype(jnp.float32)
-            for d in range(in_features):
-                pre = pre + x[:, d:d + 1] * w[d:d + 1, :].astype(jnp.float32)
-        else:
-            # mixed_matmul: non-sine layers take a single bf16 MXU pass —
-            # their error is NOT omega-amplified (sine layers' is), so the
-            # output floor stays near the uniform-precision one while the
-            # matmul passes drop from 3 to 1 on half the stack (decode-only
-            # lever; quality-gated per model in eval.decode)
-            dt = (jnp.bfloat16 if mixed_matmul
-                  and kind in ("linear_snake", "linear_tanh", "linear_last")
-                  else compute_dtype)
-            pre = _kernel_dot(x, w[:], (((1,), (0,)), ((), ())),
-                              dt, mode=f32_mode) + b.astype(jnp.float32)
-        if kind == "sine_first":
-            x = sin0_fn(omegas[li] * pre)
-        elif kind == "sine":
-            x = sin_fn(omegas[li] * pre)
-        elif kind == "linear_snake":
-            a = refs[ri][:].astype(jnp.float32)  # (1, out_f)
-            ri += 1
-            x = pre + (0.5 / a) * (1.0 - cos_fn(2.0 * a * pre))
-        elif kind == "linear_tanh":
-            x = jnp.tanh(pre)
-        else:  # linear_last
-            x = pre
+    x = _run_layers(coords_ref[:].astype(jnp.float32),
+                    [r[:] for r in refs], kinds, omegas, in_features,
+                    compute_dtype, approx_sin=approx_sin,
+                    sin_poly_degree=sin_poly_degree,
+                    mixed_matmul=mixed_matmul, f32_mode=f32_mode,
+                    exact_first_sin=exact_first_sin,
+                    bt=None if bt_ref is None else bt_ref[:],
+                    rff_features=rff_features)
     if compact_out:
         rows = x.shape[0]
         out_ref[:] = x[:, 0:1].reshape(rows // 128, 128).astype(out_ref.dtype)
@@ -393,6 +414,242 @@ def _fused_apply_jit(flat_params, coords, cfg: SirenSnakeTanhConfig,
         interpret=interpret,
     )(coords_p, *operands)
     return out[:n, : cfg.out_features]
+
+
+def _layer_w_rows(cfg: SirenSnakeTanhConfig) -> tuple[int, ...]:
+    """Per-layer weight ROW counts as laid out by the stacked flattener
+    (layer 0 padded to the small-input width)."""
+    kinds = cfg.layer_kinds
+    h = cfg.hidden_features
+    return tuple(_MAX_SMALL_IN if li == 0 else h
+                 for li in range(len(kinds)))
+
+
+def _stack_kernel_multi(coords_ref, *refs, kinds, omegas, in_features,
+                        compute_dtype, chunks, rows_pad, w_rows,
+                        approx_sin=False, sin_poly_degree=11,
+                        mixed_matmul=False, f32_mode=None,
+                        exact_first_sin=False):
+    """Multi-chunk decode: one grid step evaluates ``chunks`` chunk-INRs on
+    the SHARED per-chunk coordinate grid.
+
+    Why it exists: the multi-INR stitched decode (train/multi_inr.py) vmaps
+    the single-model kernel over ~670 chunks of 512 rows each — each
+    instance either pads its rows to the >=1024-row compact tile (2-4x
+    wasted MXU work) or takes the lane-padded (rows, 128) output write plus
+    a device relayout copy that costs more than the kernel (BASELINE.md r3
+    trace rows).  Every chunk shares ONE coordinate grid (get_coord(n)), so
+    this kernel keeps the grid resident in VMEM and walks ``chunks`` chunks'
+    parameters per grid step: zero row padding, compact packed output, and
+    1/``chunks`` the grid steps.
+
+    refs = per-layer [w_stacked (chunks*w_rows[li], h),
+    b (chunks*8, h, row 0 of each 8-band live), (snake_a, same layout)?,
+    ...] blocks + out_ref ((chunks*rows_pad)//128, 128) packed scalar
+    columns, one chunk after another.  Everything is 2D row-stacked —
+    per-chunk vectors ride an 8-row band because Mosaic block shapes must
+    keep the sublane dim a multiple of 8.
+    """
+    out_ref = refs[-1]
+    refs = refs[:-1]
+    x0 = coords_ref[:].astype(jnp.float32)  # (rows_pad, in_pad)
+    pieces = []
+    for g in range(chunks):
+        flat = []
+        ri = 0
+        for li, kind in enumerate(kinds):
+            a = w_rows[li]
+            flat.append(refs[ri][g * a:(g + 1) * a, :])
+            flat.append(refs[ri + 1][g * 8:g * 8 + 1, :])
+            ri += 2
+            if kind == "linear_snake":
+                flat.append(refs[ri][g * 8:g * 8 + 1, :])
+                ri += 1
+        x = _run_layers(x0, flat, kinds, omegas, in_features, compute_dtype,
+                        approx_sin=approx_sin,
+                        sin_poly_degree=sin_poly_degree,
+                        mixed_matmul=mixed_matmul, f32_mode=f32_mode,
+                        exact_first_sin=exact_first_sin)
+        pieces.append(x[:, 0:1].reshape(rows_pad // 128, 128))
+    out_ref[:] = jnp.concatenate(pieces, axis=0).astype(out_ref.dtype)
+
+
+def _pick_chunks_per_step(cfg: SirenSnakeTanhConfig, rows_pad: int,
+                          requested: int | None = None) -> int | None:
+    """Chunks evaluated per grid step: the largest count whose packed
+    output block satisfies the (8, 128) tile constraint
+    ((chunks * rows_pad) % 1024 == 0) and whose weights + live activations
+    fit a conservative VMEM budget.  None = no feasible count (caller
+    falls back to the vmapped single-chunk kernel)."""
+    if requested is not None:
+        return requested
+    h = cfg.hidden_features
+    w_bytes = 4 * sum(r * h for r in _layer_w_rows(cfg))  # per chunk
+    # live activations: x + pre in f32 plus the bf16x3 split temporaries
+    act_bytes = 12 * rows_pad * h
+    budget = 10 * 2 ** 20
+    for g in (16, 12, 8, 6, 4, 2):
+        if (g * rows_pad) % 1024:
+            continue
+        if g * (w_bytes + rows_pad * 4) + act_bytes <= budget:
+            return g
+    return None
+
+
+def _flatten_params_stacked(params: Params, cfg: SirenSnakeTanhConfig
+                            ) -> list[jax.Array]:
+    """Chunk-stacked layer dicts (leading k axis on every leaf) -> flat 2D
+    arrays for the multi-chunk kernel: weights row-stacked to
+    (k * w_rows, h) — 2D blocks reuse the proven (sublane, lane) tiling —
+    and per-chunk vectors (bias, snake a) broadcast onto an 8-row band,
+    (k * 8, h), because Mosaic block sublane dims must be multiples of 8.
+    Final layer lane-padded to 128."""
+    flat: list[jax.Array] = []
+    kinds = cfg.layer_kinds
+
+    def band(v):  # (k, h) -> (k*8, h), row 0 of each band is the vector
+        k, h = v.shape
+        return jnp.broadcast_to(v[:, None, :], (k, 8, h)).reshape(k * 8, h)
+
+    for li, (kind, p) in enumerate(zip(kinds, params["layers"])):
+        w, b = p["w"], p["b"]
+        k = w.shape[0]
+        if li == 0:
+            w_p = jnp.zeros((k, _MAX_SMALL_IN, w.shape[2]), w.dtype)
+            w = w_p.at[:, : w.shape[1]].set(w)
+        if li == len(kinds) - 1 and w.shape[2] < 128:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, 128 - w.shape[2])))
+            b = jnp.pad(b, ((0, 0), (0, 128 - b.shape[1])))
+        flat.append(w.reshape(k * w.shape[1], w.shape[2]))
+        flat.append(band(b))
+        if kind == "linear_snake":
+            flat.append(band(p["snake_a"]))
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunks", "rows_pad",
+                                             "n", "compute_dtype_name",
+                                             "interpret", "approx_sin",
+                                             "sin_poly_degree",
+                                             "mixed_matmul", "f32_mode",
+                                             "exact_first_sin"))
+def _stacked_apply_jit(params, coords, cfg: SirenSnakeTanhConfig,
+                       chunks: int, rows_pad: int, n: int,
+                       compute_dtype_name: str, interpret: bool,
+                       approx_sin: bool = False, sin_poly_degree: int = 11,
+                       mixed_matmul: bool = False, f32_mode: str | None = None,
+                       exact_first_sin: bool = False):
+    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                     else jnp.float32)
+    kinds = cfg.layer_kinds
+    omegas = tuple(
+        cfg.first_omega_0 if k == "sine_first"
+        else (cfg.hidden_omega_0 if k == "sine" else 0.0)
+        for k in kinds)
+    w_rows = _layer_w_rows(cfg)
+
+    k = params["layers"][0]["w"].shape[0]
+    k_pad = _round_up(k, chunks)
+    if k_pad != k:  # repeat chunk 0 (never NaN/inf, sliced off after)
+        params = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (k_pad - k,) + x.shape[1:])]),
+            params)
+    flat = _flatten_params_stacked(params, cfg)
+
+    d = coords.shape[1]
+    coords_p = jnp.zeros((rows_pad, _MAX_SMALL_IN), dtype=jnp.float32)
+    coords_p = coords_p.at[: coords.shape[0], :d].set(
+        coords.astype(jnp.float32))
+
+    in_specs = [pl.BlockSpec((rows_pad, _MAX_SMALL_IN), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    ri = 0
+    for li, kind in enumerate(kinds):
+        a = w_rows[li]
+        in_specs.append(pl.BlockSpec((chunks * a, flat[ri].shape[1]),
+                                     lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((chunks * 8, flat[ri + 1].shape[1]),
+                                     lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        ri += 2
+        if kind == "linear_snake":
+            in_specs.append(pl.BlockSpec((chunks * 8, flat[ri].shape[1]),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+            ri += 1
+
+    kernel = functools.partial(
+        _stack_kernel_multi, kinds=kinds, omegas=omegas,
+        in_features=cfg.in_features, compute_dtype=compute_dtype,
+        chunks=chunks, rows_pad=rows_pad, w_rows=w_rows,
+        approx_sin=approx_sin, sin_poly_degree=sin_poly_degree,
+        mixed_matmul=mixed_matmul, f32_mode=f32_mode,
+        exact_first_sin=exact_first_sin)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_pad * rows_pad // 128, 128),
+                                       jnp.float32),
+        grid=(k_pad // chunks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((chunks * rows_pad // 128, 128),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coords_p, *flat)
+    # packed (k_pad*rows_pad//128, 128) -> (k, n, 1): a dense same-bytes
+    # reshape + slice (k*n floats), NOT the (rows, 128)-activation relayout
+    # the vmapped path pays
+    return out.reshape(k_pad, rows_pad)[:k, :n, None]
+
+
+def stacked_supported(cfg: Any, n: int) -> bool:
+    """True when ``fused_siren_apply_stacked`` can serve (cfg, n)-shaped
+    chunk populations — scalar output, raw small-input coords (no RFF),
+    and a VMEM-feasible chunks-per-step.  Static-only check: lets callers
+    pick the eval path once at fn-construction time."""
+    return (getattr(cfg, "out_features", None) == 1
+            and getattr(cfg, "in_features", 99) <= _MAX_SMALL_IN
+            and _pick_chunks_per_step(cfg, _round_up(n, 128)) is not None)
+
+
+def fused_siren_apply_stacked(params: Params, cfg: SirenSnakeTanhConfig,
+                              coords: jax.Array,
+                              chunks_per_step: int | None = None,
+                              compute_dtype=jnp.float32,
+                              interpret: bool = False,
+                              approx_sin: bool = False,
+                              sin_poly_degree: int = 11,
+                              mixed_matmul: bool = False,
+                              f32_mode: str | None = None,
+                              exact_first_sin: bool = False
+                              ) -> jax.Array | None:
+    """Evaluate a STACKED chunk population (leading k axis on every param
+    leaf) on one shared (n, d) coordinate grid -> (k, n, 1).
+
+    Drop-in for ``jax.vmap(lambda p: fused_siren_apply(p, cfg, coords))``
+    over the multi-INR decode shape (train/multi_inr.py:403), but with zero
+    row padding and a compact packed output — see ``_stack_kernel_multi``.
+    Quality-tier kwargs match ``fused_siren_apply``.
+
+    Returns None when the shape is unsupported (RFF models, vector outputs,
+    or no VMEM-feasible chunks-per-step) — callers fall back to the vmapped
+    single-chunk kernel.
+    """
+    if cfg.out_features != 1 or cfg.in_features > _MAX_SMALL_IN:
+        return None
+    rows_pad = _round_up(coords.shape[0], 128)
+    chunks = _pick_chunks_per_step(cfg, rows_pad, chunks_per_step)
+    if chunks is None:
+        return None
+    name = "bfloat16" if compute_dtype == jnp.bfloat16 else "float32"
+    return _stacked_apply_jit(params, coords, cfg, chunks, rows_pad,
+                              coords.shape[0], name, interpret,
+                              approx_sin=approx_sin,
+                              sin_poly_degree=sin_poly_degree,
+                              mixed_matmul=mixed_matmul, f32_mode=f32_mode,
+                              exact_first_sin=exact_first_sin)
 
 
 def _flatten_params(params: Params, cfg: SirenSnakeTanhConfig,
@@ -514,36 +771,38 @@ def fused_siren_apply(params: Params, cfg: SirenSnakeTanhConfig,
 #   f32 + deg-9 polynomial    : ~90 dB
 #   f32 + deg-11 polynomial   : ~120 dB  (the 124.9 dB headline decodes here)
 #
-# HIGH-PHASE REGIME (r4, 40_trained_floor.log): the floors above hold for
-# moderate first-layer phases (multi-INR omega0 ~115).  On the reference's
-# wave default (omega0=22000, h=256) EVERY approx-sin tier floors at
-# 43-49 dB — sin(omega*(Wx+b)) phase error scales with the argument, so
-# range reduction, not polynomial degree, binds (deg-9 measured 43.0 on
-# that checkpoint, not ~90).  auto_decode_kwargs therefore treats every
-# approx tier's floor as min(table, ~43 dB) once omega0 is in the
-# high-phase regime.  Such models also FIT at ~33 dB, so the gate still
-# lands on a fast tier (drop <=0.1 dB measured); the cap only matters for
-# hypothetical high-omega high-fit models, which fall to exact-sin.
+# HIGH-PHASE REGIME (restamped r5, bench_logs_r5/20_l0exact_floor_full.log
+# on the regenerated omega0=22000 h=256 checkpoint): the r4 "every approx
+# tier floors at 43-49 dB" finding was largely an artifact of measuring
+# against the then-buggy one-pass-bf16 exact baseline (DESIGN.md round-5
+# rule 2).  Re-measured on the FIXED tree, what binds at omega0=22000 is
+# the MATMUL precision, not sin range reduction: bf16 tiers still floor at
+# ~43 (hidden-layer rounding is omega-amplified through the sine layers),
+# but the bf16x3 deg-9/deg-11 tiers floor at 85.8/87.3 — and the fused
+# EXACT-sin path also floors at 87.3 (two bf16x3 matmul orderings agreeing
+# to ~-87 dB is the shared ceiling; exact sin buys nothing above deg-11).
+# The exact_first_sin mixed tier (VERDICT r4 item 4's hypothesis) is
+# measured UNNECESSARY: +0.6 dB over uniform deg-9, nothing over deg-11.
+# Per-tier (moderate_floor, high_phase_floor, kwargs):
 _DECODE_TIERS = (
-    (43.0, dict(approx_sin=True, sin_poly_degree=7,
-                compute_dtype="bfloat16")),
-    (50.0, dict(approx_sin=True, sin_poly_degree=7, mixed_matmul=True,
-                f32_mode="bf16x2")),
-    (90.0, dict(approx_sin=True, sin_poly_degree=9)),
+    (43.0, 43.0, dict(approx_sin=True, sin_poly_degree=7,
+                      compute_dtype="bfloat16")),
+    (50.0, 46.0, dict(approx_sin=True, sin_poly_degree=7, mixed_matmul=True,
+                      f32_mode="bf16x2")),
+    (90.0, 85.0, dict(approx_sin=True, sin_poly_degree=9)),
     # the 124.5 dB headline decodes through deg-11 with NO measurable drop
     # (BENCH_r03: decode SNR == fit SNR to 0.01 dB), so its trained floor
-    # is >= ~134 dB
-    (134.0, dict(approx_sin=True, sin_poly_degree=11)),
+    # is >= ~134 dB at moderate phases
+    (134.0, 87.0, dict(approx_sin=True, sin_poly_degree=11)),
 )
 
-# Above this first-layer omega0 the measured high-phase floors (43-49 dB)
-# replace the table's.  Anchors: omega0=115 (headline) shows full table
-# floors; omega0=1000 decodes an 83.2 dB fit through deg-11 approx with
-# NO drop (bench_logs_r4/73_gap3.log — floor >= ~95 there); omega0=22000
-# floors every approx tier at 43-49 (40_trained_floor.log).  The
-# crossover is untested between 1000 and 22000, so gate from 2000 up.
+# Above this first-layer omega0 the high-phase floor column applies.
+# Anchors: omega0=115 (headline) shows full table floors; omega0=1000
+# decodes an 83.2 dB fit through deg-11 approx with NO drop
+# (bench_logs_r4/73_gap3.log — floor >= ~95 there); omega0=22000 measured
+# per-tier above.  The crossover is untested between 1000 and 22000, so
+# gate from 2000 up.
 _HIGH_PHASE_OMEGA = 2000.0
-_HIGH_PHASE_FLOOR = 43.0
 
 
 def auto_decode_kwargs(fit_snr_db: float,
@@ -564,22 +823,23 @@ def auto_decode_kwargs(fit_snr_db: float,
 
     ``first_omega_0``: when known, models in the high-phase regime
     (omega0 >= ``_HIGH_PHASE_OMEGA`` = 2000) use the measured high-phase
-    floors — range reduction binds every approx tier near ~43 dB there
-    (r4 probe on the reference-default omega0=22000 checkpoint), so a
-    high-omega model whose fit clears the cap decodes exact-sin (or the
-    layer0-exact mixed tier, see ``first_layer_exact``).  The crossover
-    between omega0=1000 (deg-11 floor measured >= ~95 dB,
-    bench_logs_r4/73_gap3.log) and 22000 (floor 43-49) is unmeasured, so
-    the gate starts at 2000; the deg-11 table floor of 134 dB was
-    measured at omega0~115 and is a >= ~95 dB LOWER BOUND at
-    omega0=500-1000, not a measured 134 there.
+    floor column — at omega0=22000 the bf16 tiers floor near ~43 dB
+    (omega-amplified matmul rounding) while the bf16x3 deg-9/11 tiers hold
+    85.8/87.3 dB (r5 restamp, 20_l0exact_floor_full.log), so mid-fidelity
+    high-omega fits ride the polynomial tiers instead of falling to
+    exact-sin (which shares the same ~87 dB bf16x3-matmul ceiling there).
+    The crossover between omega0=1000 (deg-11 floor measured >= ~95 dB,
+    bench_logs_r4/73_gap3.log) and 22000 is unmeasured, so the gate
+    starts at 2000; the deg-11 table floor of 134 dB was measured at
+    omega0~115 and is a >= ~95 dB LOWER BOUND at omega0=500-1000, not a
+    measured 134 there.
     """
     need = fit_snr_db + margin_db
     high_phase = (first_omega_0 is not None
                   and first_omega_0 >= _HIGH_PHASE_OMEGA)
-    for floor, kw in _DECODE_TIERS:
+    for floor, high_floor, kw in _DECODE_TIERS:
         if high_phase:
-            floor = min(floor, _HIGH_PHASE_FLOOR)
+            floor = high_floor
         if need <= floor:
             kw = dict(kw)
             if kw.get("compute_dtype") == "bfloat16":

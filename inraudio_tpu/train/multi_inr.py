@@ -325,6 +325,32 @@ def stitch_chunks(outs: np.ndarray, hop: int, length: int) -> np.ndarray:
     return (acc / np.maximum(den, 1e-12)).astype(np.float32)[:length]
 
 
+def chunk_eval_fn(model: INRModel, coords, fit_snr_db: float | None = None):
+    """Jitted per-chunk dense eval over STACKED params -> (k, n, 1).
+
+    Routes through the multi-chunk stacked kernel when the model carries
+    one and the shape qualifies (``ops.pallas_siren.stacked_supported``:
+    zero row padding + compact packed output vs vmapping the single-chunk
+    kernel over ~670 row-padded instances); otherwise falls back to the
+    vmapped apply.  ``fit_snr_db`` selects the quality-gated decode tier
+    (``model.decode_apply``/``decode_apply_stacked``) exactly as the
+    codec's decode does; None decodes through the plain ``apply``."""
+    coords = jnp.asarray(coords, dtype=jnp.float32)
+    use_tier = fit_snr_db is not None and model.decode_apply is not None
+    stacked = (model.decode_apply_stacked if use_tier
+               else model.apply_stacked)
+    if stacked is not None:
+        from ..ops.pallas_siren import stacked_supported
+        if stacked_supported(model.config, coords.shape[0]):
+            if use_tier:
+                return lambda P: stacked(P, coords, fit_snr_db)
+            return lambda P: stacked(P, coords)
+    if use_tier:
+        return jax.jit(jax.vmap(
+            lambda p: model.decode_apply(p, coords, fit_snr_db)))
+    return jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+
+
 def batched_chunk_eval(fn, params, k: int,
                        max_chunks_per_batch: int | None) -> np.ndarray:
     """Evaluate a vmapped per-chunk ``fn`` over stacked params in
@@ -393,7 +419,7 @@ def multi_inr_decode_range(model: INRModel, result: MultiINRResult,
     coords = np.asarray(get_coord(n, dim=1), np.float32)  # host const
     params = (result.states.best_params if track_best
               else result.states.params)
-    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    fn = chunk_eval_fn(model, coords)
     return decode_chunk_range(fn, params, result.chunk_scales, n,
                               result.hop, result.num_chunks,
                               result.signal_length, start, stop,
@@ -413,7 +439,7 @@ def multi_inr_decode(model: INRModel, result: MultiINRResult,
     coords = np.asarray(get_coord(n, dim=1), np.float32)  # host const (see multi_inr_fit)
     params = (result.states.best_params if track_best
               else result.states.params)
-    fn = jax.jit(jax.vmap(lambda p: model.apply(p, coords)))
+    fn = chunk_eval_fn(model, coords)
     outs = batched_chunk_eval(fn, params, k, max_chunks_per_batch)
     outs = np.asarray(outs)[:k, :, 0] * result.chunk_scales[:, None]  # (k, n)
     return stitch_chunks(outs, hop, result.signal_length)

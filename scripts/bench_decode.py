@@ -59,6 +59,26 @@ def run_case(name):
         msps = measure_decode(fn, (params, c), k * rows)
         print(f"{name}: {msps:.1f} Msamples/s ({k}x{rows} rows)")
         return
+    elif name == "stacked":
+        # the multi-chunk stacked kernel vs the vmapped single-chunk kernel
+        # on the bench headline shape (672 chunks x 512 rows, h=128, one
+        # SHARED coordinate grid) — scan chunks-per-step
+        from inraudio_tpu.ops.pallas_siren import fused_siren_apply_stacked
+        k, rows = 672, 512
+        cfg = SirenSnakeTanhConfig(hidden_features=128, first_omega_0=500.0)
+        model = build_model("mlp", cfg, fused=True, approx_sin=True)
+        params = jax.vmap(model.init)(jax.random.split(key, k))
+        c = jnp.linspace(-1, 1, rows).reshape(-1, 1)
+        ref = jax.jit(jax.vmap(lambda p: model.apply(p, c)))(params)
+        for g in (2, 4, 8, 16, None):
+            fn = lambda P, _g=g: fused_siren_apply_stacked(
+                P, cfg, c, chunks_per_step=_g, approx_sin=True)
+            out = fn(params)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            msps = measure_decode(fn, (params,), k * rows)
+            print(f"{name} g={g}: {msps:.1f} Msamples/s ({k}x{rows} rows) "
+                  f"max|diff vs vmap|={err:.2e}")
+        return
     elif name == "tune256":
         # VERDICT r3 item 2 + r4 item 3: h=256 decode levers — block_rows x
         # sin poly degree x mixed_matmul x packed_out (the h=128 lesson: the

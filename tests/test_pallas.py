@@ -284,12 +284,21 @@ def test_auto_decode_kwargs_tiers():
     assert auto_decode_kwargs(60.0)["sin_poly_degree"] == 9
     assert auto_decode_kwargs(124.9)["sin_poly_degree"] == 11
     assert auto_decode_kwargs(130.0) == {"approx_sin": False}
-    # high-phase regime (omega0 >= 1000): range reduction caps every
-    # approx tier near ~43 dB — the reference-default 33.6 dB fit still
-    # lands on the fast bf16 tier, but a higher fit goes exact-sin
+    # high-phase regime (omega0 >= 2000, r5 restamped floors): bf16 tiers
+    # floor near ~43 dB (omega-amplified matmul rounding) so the
+    # reference-default 33.6 dB fit keeps the fast bf16 tier; mid-fidelity
+    # fits ride the bf16x3 deg-9 tier (measured floor 85.8 at omega0=22000,
+    # bench_logs_r5/20_l0exact_floor_full.log) instead of falling to
+    # exact-sin, which shares the same ~87 dB bf16x3 ceiling there
     hp = auto_decode_kwargs(33.6, first_omega_0=22000.0)
     assert hp["compute_dtype"] == jnp.bfloat16
-    assert auto_decode_kwargs(39.0, first_omega_0=22000.0) == {
+    assert auto_decode_kwargs(39.0, first_omega_0=22000.0)[
+        "sin_poly_degree"] == 9
+    assert auto_decode_kwargs(70.0, first_omega_0=22000.0)[
+        "sin_poly_degree"] == 9
+    # above the ~87 dB high-phase matmul ceiling: exact sin (same ceiling,
+    # but no polynomial term on top)
+    assert auto_decode_kwargs(80.0, first_omega_0=22000.0) == {
         "approx_sin": False}
     # moderate omega keeps the full ladder
     assert auto_decode_kwargs(39.0, first_omega_0=115.0).get(
@@ -351,3 +360,91 @@ def test_f32_mode_decode_tier_ladder():
     # f32_mode composes with mixed_matmul (sine 2-pass, non-sine 1-pass)
     e_x2m = err(f32_mode="bf16x2", mixed_matmul=True)
     assert e_x2m < 2e-2 * max(scale, 1e-3), e_x2m
+
+
+# ---------------------------------------------------------------------------
+# multi-chunk stacked decode kernel (ops/pallas_siren.fused_siren_apply_stacked)
+# ---------------------------------------------------------------------------
+
+def _stacked_population(cfg, k):
+    model = build_model("mlp", cfg)
+    return model, jax.vmap(model.init)(jax.random.split(KEY, k))
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c.layer_kinds and
+                         "-".join(k[:4] for k in c.layer_kinds))
+def test_stacked_matches_vmapped_reference(cfg):
+    if cfg.in_features > 1:
+        pytest.skip("stacked decode serves the 1-D multi-INR chunk grid")
+    model, params = _stacked_population(cfg, 5)
+    coords = jnp.linspace(-1, 1, 300).reshape(-1, 1)  # non-128-multiple rows
+    ref = jax.vmap(lambda p: model.apply(p, coords))(params)
+    from inraudio_tpu.ops.pallas_siren import fused_siren_apply_stacked
+    out = fused_siren_apply_stacked(params, cfg, coords, chunks_per_step=2,
+                                    interpret=True)
+    assert out.shape == ref.shape
+    atol = 2e-5 if cfg.first_omega_0 <= 1000 else 1e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=atol, rtol=1e-4)
+
+
+def test_stacked_matches_single_chunk_kernel_tiers():
+    # every quality-tier kwarg must mean the SAME numerics in both kernels
+    cfg = SirenSnakeTanhConfig(hidden_features=64, num_sine=1, num_snake=1,
+                               first_omega_0=300.0)
+    _, params = _stacked_population(cfg, 3)
+    coords = jnp.linspace(-1, 1, 256).reshape(-1, 1)
+    from inraudio_tpu.ops.pallas_siren import (fused_siren_apply,
+                                               fused_siren_apply_stacked)
+    for kw in (dict(),
+               dict(approx_sin=True, sin_poly_degree=7, mixed_matmul=True),
+               dict(approx_sin=True, sin_poly_degree=9, f32_mode="bf16x2"),
+               dict(approx_sin=True, compute_dtype=jnp.bfloat16),
+               dict(approx_sin=True, exact_first_sin=True)):
+        one = jax.vmap(lambda p: fused_siren_apply(
+            p, cfg, coords, block_rows=256, interpret=True, **kw))(params)
+        many = fused_siren_apply_stacked(params, cfg, coords,
+                                         chunks_per_step=2, interpret=True,
+                                         **kw)
+        np.testing.assert_allclose(np.asarray(many), np.asarray(one),
+                                   atol=1e-6, rtol=1e-6, err_msg=str(kw))
+
+
+def test_stacked_pads_chunk_count():
+    # k not a multiple of chunks_per_step: padded with chunk 0, sliced off
+    cfg = SirenSnakeTanhConfig(hidden_features=32, num_sine=1, num_snake=0,
+                               num_tanh=0, first_omega_0=100.0)
+    model, params = _stacked_population(cfg, 7)
+    coords = jnp.linspace(-1, 1, 128).reshape(-1, 1)
+    from inraudio_tpu.ops.pallas_siren import fused_siren_apply_stacked
+    out = fused_siren_apply_stacked(params, cfg, coords, chunks_per_step=4,
+                                    interpret=True)
+    ref = jax.vmap(lambda p: model.apply(p, coords))(params)
+    assert out.shape == (7, 128, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_stacked_supported_gates():
+    from inraudio_tpu.ops.pallas_siren import stacked_supported
+    assert stacked_supported(SirenSnakeTanhConfig(hidden_features=64), 512)
+    # RFF models present in_features = 2F > 8 -> vmap fallback
+    assert not stacked_supported(
+        SirenSnakeTanhConfig(in_features=256, hidden_features=64), 512)
+
+
+def test_chunk_eval_fn_routes_stacked_and_falls_back():
+    from inraudio_tpu.train.multi_inr import chunk_eval_fn
+    cfg = SirenSnakeTanhConfig(hidden_features=32, num_sine=1, num_snake=1,
+                               first_omega_0=100.0)
+    fused = build_model("mlp", cfg, fused=True, approx_sin=True,
+                        interpret=True)
+    exact = build_model("mlp", cfg)
+    params = jax.vmap(exact.init)(jax.random.split(KEY, 3))
+    coords = np.linspace(-1, 1, 200, dtype=np.float32).reshape(-1, 1)
+    ref = jax.vmap(lambda p: exact.apply(p, coords))(params)
+    for model in (fused, exact):
+        for fit in (None, 20.0):
+            out = chunk_eval_fn(model, coords, fit)(params)
+            assert out.shape == (3, 200, 1)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=5e-4)
