@@ -334,8 +334,13 @@ def chunk_eval_fn(model: INRModel, coords, fit_snr_db: float | None = None):
     kernel over ~670 row-padded instances); otherwise falls back to the
     vmapped apply.  ``fit_snr_db`` selects the quality-gated decode tier
     (``model.decode_apply``/``decode_apply_stacked``) exactly as the
-    codec's decode does; None decodes through the plain ``apply``."""
-    coords = jnp.asarray(coords, dtype=jnp.float32)
+    codec's decode does; None decodes through the plain ``apply``.
+
+    ``coords`` stays HOST numpy: the vmap fallback closes over it inside
+    jit, and a device-array capture embeds a device constant at lowering
+    time (tests/test_lowering.py — the fetch can stall for minutes behind
+    pending work on the tunneled backend)."""
+    coords = np.asarray(coords, dtype=np.float32)
     use_tier = fit_snr_db is not None and model.decode_apply is not None
     stacked = (model.decode_apply_stacked if use_tier
                else model.apply_stacked)
