@@ -27,7 +27,8 @@ jax.config.update("jax_enable_x64", True)  # float64 for DSP-parity tests; libra
 # (185 tests) — the <=6 min gate target holds once .jax_cache_tests is
 # populated (first run after a clean clone pays the cold time once).
 # r5 re-measure (1-core host): fast tier 182 tests — 6:44 cold cache,
-# 5:26 warm; slow tier 95 tests — 23:35 warm.  Full suite 277 passed.
+# 4:27 fully warm (5:26 first run after new-kernel edits); slow tier 95
+# tests — 23:35 warm.  Full suite 277 passed.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache_tests"))
