@@ -648,6 +648,66 @@ def decode(payload: dict[str, Any], fused: bool | None = None,
                            max_chunks_per_batch)
 
 
+def decode_many(payloads: list[dict[str, Any]], fused: bool | None = None,
+                upsample: int = 1,
+                max_chunks_per_batch: int | None = None
+                ) -> list[tuple[int, np.ndarray]]:
+    """Decode SEVERAL payloads, batching compatible ones into one device
+    dispatch -> list of (sample_rate, waveform) in input order.
+
+    Why: the stitched decode of one clip is transport-bound on dispatch
+    overhead, not kernel time (BASELINE.md r5: ~1.78 ms fixed per call vs
+    a ~223 Msamples/s marginal kernel rate — at one 7 s clip per call the
+    wall ceiling is ~193 Msamples/s).  Serving N clips per call moves the
+    operating point up the samples-per-dispatch curve: payloads whose
+    decode compiles identically (same model recipe, chunk length, and
+    quality-gated tier) have their chunk populations CONCATENATED into a
+    single stacked eval, so N clips cost one dispatch instead of N.
+
+    Incompatible payloads (different recipes/tiers, modulated codec)
+    fall back to per-payload ``decode`` — the result is always identical
+    to calling ``decode`` on each payload.
+    """
+    from .ops.pallas_siren import auto_decode_kwargs
+
+    results: list[tuple[int, np.ndarray] | None] = [None] * len(payloads)
+    groups: dict[Any, list[tuple[int, dict, Any, Any, float | None]]] = {}
+    for i, p in enumerate(payloads):
+        if p["meta"].get("codec") == "modulated":
+            results[i] = decode(p, fused, upsample, max_chunks_per_batch)
+            continue
+        meta, model, params = _payload_model_params(p, fused)
+        fit = _routing_fit_snr(meta)
+        # group key = everything that shapes the compiled eval: the model
+        # recipe, the per-chunk grid, and the RESOLVED decode tier (two
+        # fits that land on the same tier share an executable)
+        if model.decode_apply is not None and fit is not None:
+            tier = repr(sorted(auto_decode_kwargs(
+                fit, first_omega_0=meta["model"].get("first_omega_0")
+            ).items(), key=str))
+        else:
+            tier = "plain"
+        key = (tuple(sorted(meta["model"].items())), meta["chunk_length"],
+               model.name, tier)
+        groups.setdefault(key, []).append((i, p, model, params, fit))
+
+    for items in groups.values():
+        meta0 = items[0][1]["meta"]
+        coords = _decode_grid(meta0["chunk_length"], max(1, int(upsample)))
+        fn = chunk_eval_fn(items[0][2], coords, items[0][4])
+        cks = [int(p["meta"].get("num_channels", 1)) * p["meta"]["num_chunks"]
+               for _, p, _, _, _ in items]
+        cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                           *[params for _, _, _, params, _ in items])
+        outs = np.asarray(batched_chunk_eval(fn, cat, sum(cks),
+                                             max_chunks_per_batch))
+        off = 0
+        for (i, p, _, _, _), ck in zip(items, cks):
+            results[i] = _stitch_outs(p, outs[off:off + ck], upsample)
+            off += ck
+    return results  # type: ignore[return-value]
+
+
 # The header's fit_snr_db is an ESTIMATE from per-chunk best train losses:
 # it ignores crossfade stitching (decorrelated chunk errors average down in
 # the overlaps, so the true reconstruction usually sits ABOVE the estimate)
@@ -677,17 +737,14 @@ def _decode_grid(n0: int, u: int) -> np.ndarray:
     return (-1.0 + 2.0 * j / (u * (n0 - 1)))[:, None].astype(np.float32)
 
 
-def _stitch_payload(payload: dict[str, Any], fn, params, upsample: int,
-                    max_chunks_per_batch: int | None
-                    ) -> tuple[int, np.ndarray]:
-    """Evaluate every chunk with ``fn`` and overlap-add per channel —
-    shared by the per-chunk-params and modulated decode paths."""
+def _stitch_outs(payload: dict[str, Any], outs: np.ndarray, upsample: int
+                 ) -> tuple[int, np.ndarray]:
+    """Scale + overlap-add one payload's raw (c*k, n, 1) chunk evals."""
     meta = payload["meta"]
     u = max(1, int(upsample))
     hop = meta["hop"] * u
     c = int(meta.get("num_channels", 1))
     k = meta["num_chunks"]
-    outs = batched_chunk_eval(fn, params, c * k, max_chunks_per_batch)
     outs = np.asarray(outs)[:, :, 0] * payload["scales"][:, None]
     length = meta["signal_length"] * u
     if c == 1:
@@ -695,6 +752,17 @@ def _stitch_payload(payload: dict[str, Any], fn, params, upsample: int,
     wav = np.stack([stitch_chunks(outs[j * k:(j + 1) * k], hop, length)
                     for j in range(c)], axis=1)
     return meta["sample_rate"] * u, wav
+
+
+def _stitch_payload(payload: dict[str, Any], fn, params, upsample: int,
+                    max_chunks_per_batch: int | None
+                    ) -> tuple[int, np.ndarray]:
+    """Evaluate every chunk with ``fn`` and overlap-add per channel —
+    shared by the per-chunk-params and modulated decode paths."""
+    meta = payload["meta"]
+    ck = int(meta.get("num_channels", 1)) * meta["num_chunks"]
+    outs = batched_chunk_eval(fn, params, ck, max_chunks_per_batch)
+    return _stitch_outs(payload, outs, upsample)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from inraudio_tpu.codec import (CodecConfig, compression_stats, decode,
-                                encode, load_inr, save_inr)
+                                decode_many, encode, load_inr, save_inr)
 
 FS = 4000
 
@@ -962,3 +962,21 @@ def test_legacy_payload_without_routing_keys_decodes(small_payload):
     _, rec = decode(legacy)
     snr = 10 * np.log10(np.sum(sig ** 2) / np.sum((sig - rec) ** 2))
     assert snr > 25, snr
+
+
+def test_decode_many_matches_individual_decodes(small_payload, int8_payload):
+    """Batched serving decode: compatible payloads share one dispatch
+    (their chunk populations concatenate), incompatible ones group apart —
+    the results must equal per-payload decode() in input order."""
+    sig_a, pay_a = small_payload
+    sig_b, pay_b = int8_payload
+    # a third payload whose chunk grid differs -> its own compile group
+    sig_c = _sig(0.25, f=330.0)
+    cfg_c = CodecConfig(**{**SMALL.__dict__, "chunk_seconds": 0.05,
+                           "total_steps": 60})
+    pay_c = encode(sig_c, FS, cfg_c)
+    batched = decode_many([pay_a, pay_b, pay_c])
+    singles = [decode(pay_a), decode(pay_b), decode(pay_c)]
+    for (fs_m, rec_m), (fs_1, rec_1) in zip(batched, singles):
+        assert fs_m == fs_1
+        np.testing.assert_allclose(rec_m, rec_1, atol=1e-6)
