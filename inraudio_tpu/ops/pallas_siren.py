@@ -797,10 +797,16 @@ _DECODE_TIERS = (
 )
 
 # Above this first-layer omega0 the high-phase floor column applies.
-# Anchors: omega0=115 (headline) shows full table floors; omega0=1000
-# decodes an 83.2 dB fit through deg-11 approx with NO drop
-# (bench_logs_r4/73_gap3.log — floor >= ~95 there); omega0=22000 measured
-# per-tier above.  The crossover is untested between 1000 and 22000, so
+# Anchors: omega0=115 (headline) shows full table floors; omega0=500/1000
+# hi-fi fits are now MEASURED (r5, bench_logs_r5/28+29_hifi_floor_*.log,
+# the codec's 110 dB-class recipes trained to ~98 dB-exact): decoding
+# through deg-11 reconstructs at 112.3 dB (omega500) / 123.3 dB
+# (omega1000) — i.e. ABOVE the exact-apply score, because the params
+# were trained under the fused forward and deg-11 matches those
+# semantics — so the deg-11 floor is >=112/>=123 there (recon-bounded),
+# deg-9 holds >=105 at omega500, and tier2 floors at ~60 (phase error).
+# omega0=22000 measured per-tier above.  The crossover to the high-phase
+# column lies between 1000 (deg-11 >=123) and 22000 (deg-11 87.3), so
 # gate from 2000 up.
 _HIGH_PHASE_OMEGA = 2000.0
 
@@ -828,11 +834,12 @@ def auto_decode_kwargs(fit_snr_db: float,
     85.8/87.3 dB (r5 restamp, 20_l0exact_floor_full.log), so mid-fidelity
     high-omega fits ride the polynomial tiers instead of falling to
     exact-sin (which shares the same ~87 dB bf16x3-matmul ceiling there).
-    The crossover between omega0=1000 (deg-11 floor measured >= ~95 dB,
-    bench_logs_r4/73_gap3.log) and 22000 is unmeasured, so the gate
-    starts at 2000; the deg-11 table floor of 134 dB was measured at
-    omega0~115 and is a >= ~95 dB LOWER BOUND at omega0=500-1000, not a
-    measured 134 there.
+    The deg-11 table floor of 134 dB was measured at omega0~115; at
+    omega0=500/1000 hi-fi fits measure >=112.3/>=123.3 dB recon-bounded
+    (r5, bench_logs_r5/28+29_hifi_floor_*.log — the probe's ~98 dB-exact
+    fits decode ABOVE their exact-apply score through deg-11 because
+    training ran the fused forward), so the gate's crossover to the
+    high-phase column sits between 1000 and 22000; it starts at 2000.
     """
     need = fit_snr_db + margin_db
     high_phase = (first_omega_0 is not None
