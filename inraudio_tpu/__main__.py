@@ -161,8 +161,15 @@ def main(argv=None) -> int:
                           "the chunk grid stays global)")
 
     dec = sub.add_parser("decode", help="decode an INRA/npz payload back to wav")
-    dec.add_argument("--input", required=True)
-    dec.add_argument("--output", required=True)
+    dec.add_argument("--input", required=True, nargs="+",
+                     help="payload path(s); several paths decode as ONE "
+                          "batched serving dispatch (decode_many: "
+                          "compatible payloads' chunk populations "
+                          "concatenate into a single stacked eval — the "
+                          "stitched decode is transport-bound on dispatch "
+                          "overhead, so N clips/call beats N calls)")
+    dec.add_argument("--output", required=True, nargs="+",
+                     help="one wav path per input")
     dec.add_argument("--fused", choices=["auto", "on", "off"],
                      default="auto",
                      help="fused Pallas decode: auto (kernel when the "
@@ -316,25 +323,37 @@ def main(argv=None) -> int:
             resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
         print(json.dumps(stats))
     elif args.cmd == "decode":
-        from .codec import decode as _dec, decode_range, load_inr
+        from .codec import (decode as _dec, decode_many, decode_range,
+                            load_inr)
         from .data.audio_io import write_wav
+        if len(args.input) != len(args.output):
+            ap.error("--input and --output must list the same number of "
+                     "paths")
         if (args.start is None) != (args.stop is None):
             ap.error("--start and --stop must be given together")
         fused = {"auto": None, "on": True, "off": False}[args.fused]
         if args.start is not None:
             if args.upsample != 1:
                 ap.error("--start/--stop do not compose with --upsample")
-            fs, rec = decode_range(load_inr(args.input), args.start,
+            if len(args.input) != 1:
+                ap.error("--start/--stop decode one payload at a time")
+            fs, rec = decode_range(load_inr(args.input[0]), args.start,
                                    args.stop, fused=fused,
                                    max_chunks_per_batch=args.max_chunks
                                    or None)
+            outs = [(fs, rec)]
+        elif len(args.input) == 1:
+            outs = [_dec(load_inr(args.input[0]), fused=fused,
+                         upsample=args.upsample,
+                         max_chunks_per_batch=args.max_chunks or None)]
         else:
-            fs, rec = _dec(load_inr(args.input), fused=fused,
-                           upsample=args.upsample,
-                           max_chunks_per_batch=args.max_chunks or None)
-        write_wav(args.output, fs, rec)
-        print(json.dumps({"path": args.output, "sample_rate": fs,
-                          "samples": int(len(rec))}))
+            outs = decode_many([load_inr(p) for p in args.input],
+                               fused=fused, upsample=args.upsample,
+                               max_chunks_per_batch=args.max_chunks or None)
+        for path, (fs, rec) in zip(args.output, outs):
+            write_wav(path, fs, rec)
+            print(json.dumps({"path": path, "sample_rate": fs,
+                              "samples": int(len(rec))}))
     elif args.cmd == "info":
         from .codec import payload_info
         rec = payload_info(args.input)

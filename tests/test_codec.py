@@ -980,3 +980,21 @@ def test_decode_many_matches_individual_decodes(small_payload, int8_payload):
     for (fs_m, rec_m), (fs_1, rec_1) in zip(batched, singles):
         assert fs_m == fs_1
         np.testing.assert_allclose(rec_m, rec_1, atol=1e-6)
+
+
+def test_cli_decode_many(tmp_path, small_payload, int8_payload):
+    """`decode --input a b --output x y` routes through decode_many and
+    writes one wav per payload, identical to two single decodes."""
+    from inraudio_tpu.__main__ import main
+    from inraudio_tpu.data.audio_io import read_wav
+    _, pay_a = small_payload
+    _, pay_b = int8_payload
+    pa = save_inr(str(tmp_path / "a.inr"), pay_a)
+    pb = save_inr(str(tmp_path / "b.inr"), pay_b)
+    oa, ob = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    assert main(["decode", "--input", pa, pb, "--output", oa, ob]) == 0
+    for out, pay in ((oa, pay_a), (ob, pay_b)):
+        fs, rec = read_wav(out)
+        fs1, rec1 = decode(pay)
+        assert fs == fs1
+        np.testing.assert_allclose(rec, rec1, atol=2e-5)
