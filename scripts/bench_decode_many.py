@@ -8,8 +8,17 @@ concatenates compatible payloads' chunk populations into ONE stacked eval —
 this script measures what that buys wall-clock at serving fan-ins N=1..8.
 
 Usage: python scripts/bench_decode_many.py [steps] [Ns...]
-  steps — encode budget for the probe payload (default 120: the decode
-          shape, not the fit quality, is what's under test)
+       python scripts/bench_decode_many.py rd<bps> [steps] [Ns...]
+  steps  — encode budget for the probe payload (default 120: the decode
+           shape, not the fit quality, is what's under test)
+  rd<bps> — encode at the calibrated RD operating point for that
+           bits/sample target (e.g. ``rd4``) instead of the headline
+           decode shape.  The headline shape's payload is ~90 MB of
+           parameters (a decode-THROUGHPUT probe, deliberately
+           overparameterized), so its serving wall is payload-upload-
+           bound and batching is neutral; a realistic codec payload is
+           ~100-300 KB, the wall is per-dispatch latency, and batching
+           is the lever (BASELINE.md r5 serving section).
 """
 from __future__ import annotations
 
@@ -21,25 +30,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-from inraudio_tpu.codec import CodecConfig, decode, decode_many, encode  # noqa: E402
+import jax  # noqa: E402
+
+from inraudio_tpu.codec import (CodecConfig, config_for_bitrate,  # noqa: E402
+                                decode, decode_many, encode)
 from inraudio_tpu.data.audio_io import read_wav  # noqa: E402
 
 WAV = os.environ.get("BENCH_WAV", "/root/reference/gt_bach.wav")
 
 
 def main() -> None:
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    ns = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
+    argv = sys.argv[1:]
+    rd_bps = None
+    if argv and argv[0].startswith("rd"):
+        rd_bps = float(argv[0][2:])
+        argv = argv[1:]
+    steps = int(argv[0]) if argv else 120
+    ns = [int(a) for a in argv[1:]] or [1, 2, 4, 8]
     fs, sig = read_wav(WAV, channel=0)
 
-    # Headline decode shape: 512-row chunks, h=128 (bench.py's BENCH_CHUNK_S)
-    cfg = CodecConfig(chunk_seconds=0.01161, overlap_fraction=0.1,
-                      total_steps=steps, fused=True)
+    if rd_bps is not None:
+        cfg = config_for_bitrate(rd_bps, CodecConfig(total_steps=steps,
+                                                     fused=True))
+    else:
+        # Headline decode shape: 512-row chunks, h=128 (bench BENCH_CHUNK_S)
+        cfg = CodecConfig(chunk_seconds=0.01161, overlap_fraction=0.1,
+                          total_steps=steps, fused=True)
     t0 = time.time()
     pay = encode(np.asarray(sig, np.float32), fs, cfg)
     k = pay["meta"]["num_chunks"]
+    pbytes = sum(np.asarray(x).nbytes
+                 for x in jax.tree.leaves(pay["params"]))
     print(f"payload: {k} chunks, chunk_length={pay['meta']['chunk_length']}, "
           f"fit_snr_db={pay['meta'].get('fit_snr_db')}, "
+          f"params {pbytes / 1e3:.1f} KB in memory, "
           f"encode {time.time() - t0:.1f}s")
 
     n_samples = pay["meta"]["signal_length"]
