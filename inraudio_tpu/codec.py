@@ -1086,6 +1086,17 @@ def _check_format(meta: dict[str, Any]) -> None:
             "quantization, must be re-encoded from the source audio)")
 
 
+# decode/decode_range/decode_stream stash the dequantized DEVICE params
+# under this payload key after the first call: a seek-heavy serving
+# pattern (N decode_range calls on one loaded payload) would otherwise
+# re-dequantize and re-upload the ENTIRE parameter set per seek — O(clip)
+# transfer for an O(range) evaluation.  The cache entry holds a reference
+# to the exact ``payload['params']`` object it was built from and is
+# rebuilt whenever that object is replaced; it lives only as long as the
+# payload dict (``payload.pop(_DEVICE_CACHE_KEY, None)`` frees the HBM).
+_DEVICE_CACHE_KEY = "_device_params"
+
+
 def _payload_model_params(payload: dict[str, Any], fused: bool | None):
     """Validate the payload header and rebuild (meta, model, device params)
     — shared by ``decode`` and ``decode_range``.
@@ -1109,9 +1120,13 @@ def _payload_model_params(payload: dict[str, Any], fused: bool | None):
     model = build_model("mlp", _model_cfg_from_meta(meta), fused=fused,
                         approx_sin=fused)
     params = payload["params"]
-    if meta.get("quantize"):
-        params = dequantize_inr_params(params)
-    return meta, model, jax.tree.map(jnp.asarray, params)
+    cached = payload.get(_DEVICE_CACHE_KEY)
+    if cached is not None and cached[0] is params:
+        return meta, model, cached[1]
+    dq = dequantize_inr_params(params) if meta.get("quantize") else params
+    dev = jax.tree.map(jnp.asarray, dq)
+    payload[_DEVICE_CACHE_KEY] = (params, dev)
+    return meta, model, dev
 
 
 def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,

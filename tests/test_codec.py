@@ -982,6 +982,37 @@ def test_decode_many_matches_individual_decodes(small_payload, int8_payload):
         np.testing.assert_allclose(rec_m, rec_1, atol=1e-6)
 
 
+def test_decode_device_param_cache(int8_payload):
+    """decode/decode_range stash the dequantized DEVICE params in the
+    payload after the first call (a seek-heavy serving pattern would
+    otherwise re-dequantize and re-upload the whole parameter set for
+    every O(range) seek); the cache is keyed on the exact ``params``
+    object and rebuilds when that object is replaced."""
+    import jax
+
+    from inraudio_tpu.codec import _DEVICE_CACHE_KEY, decode_range
+
+    sig, payload = int8_payload
+    payload = dict(payload)  # keep the shared fixture's dict untouched
+    payload.pop(_DEVICE_CACHE_KEY, None)
+    fs1, rec1 = decode(payload)
+    assert _DEVICE_CACHE_KEY in payload
+    cached = payload[_DEVICE_CACHE_KEY]
+    fs2, rec2 = decode(payload)
+    assert payload[_DEVICE_CACHE_KEY] is cached  # reused, not rebuilt
+    assert fs1 == fs2
+    np.testing.assert_array_equal(rec1, rec2)
+    # a range decode rides the same cache and matches the full decode
+    _, sl = decode_range(payload, 0.05, 0.1)
+    assert payload[_DEVICE_CACHE_KEY] is cached
+    a, b = int(round(0.05 * fs1)), int(round(0.1 * fs1))
+    np.testing.assert_allclose(sl, rec1[a:b], atol=1e-5)
+    # replacing the params object invalidates the cache
+    payload["params"] = jax.tree.map(lambda x: x, payload["params"])
+    decode(payload)
+    assert payload[_DEVICE_CACHE_KEY] is not cached
+
+
 def test_cli_decode_many(tmp_path, small_payload, int8_payload):
     """`decode --input a b --output x y` routes through decode_many and
     writes one wav per payload, identical to two single decodes."""
