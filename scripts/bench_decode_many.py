@@ -68,15 +68,29 @@ def main() -> None:
 
     n_samples = pay["meta"]["signal_length"]
     for n in ns:
-        pays = [pay] * n
+        # distinct payload dicts with fresh params containers: each
+        # simulated client clip pays its own dequantize + upload (the
+        # decode-side device-param cache keys on the params object, so
+        # [pay] * n would measure N cache hits, not N clips)
+        pays = [dict(pay, params=jax.tree.map(lambda x: x, pay["params"]))
+                for _ in range(n)]
         # warm both paths (compile once per tier/shape)
         decode(pay)
         decode_many(pays)
+        from inraudio_tpu.codec import _DEVICE_CACHE_KEY
+
+        def fresh():
+            # every timed rep pays the fresh-clip dequantize + upload
+            for p in pays:
+                p.pop(_DEVICE_CACHE_KEY, None)
+
         seq_best = many_best = float("inf")
         for _ in range(5):
+            fresh()
             t = time.time()
             outs = [decode(p) for p in pays]
             seq_best = min(seq_best, time.time() - t)
+            fresh()
             t = time.time()
             outs_m = decode_many(pays)
             many_best = min(many_best, time.time() - t)
