@@ -636,14 +636,18 @@ def decode(payload: dict[str, Any], fused: bool | None = None,
     if payload["meta"].get("codec") == "modulated":
         meta = payload["meta"]
         _check_format(meta)
-        coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
-        fn, mods = _modulated_decode_fn(payload, coords)
+        u = max(1, int(upsample))
+        coords = _decode_grid(meta["chunk_length"], u)
+        fn, mods = _cached_eval(payload, ("modulated", u),
+                                lambda: _modulated_decode_fn(payload, coords))
         return _stitch_payload(payload, fn, mods, upsample,
                                max_chunks_per_batch)
     meta, model, params = _payload_model_params(payload, fused)
-    coords = _decode_grid(meta["chunk_length"], max(1, int(upsample)))
+    u = max(1, int(upsample))
+    coords = _decode_grid(meta["chunk_length"], u)
     fit = _routing_fit_snr(meta)
-    fn = chunk_eval_fn(model, coords, fit)
+    fn = _cached_eval(payload, _eval_key(meta, model.name, u, fit),
+                      lambda: chunk_eval_fn(model, coords, fit))
     return _stitch_payload(payload, fn, params, upsample,
                            max_chunks_per_batch)
 
@@ -692,9 +696,12 @@ def decode_many(payloads: list[dict[str, Any]], fused: bool | None = None,
         groups.setdefault(key, []).append((i, p, model, params, fit))
 
     for items in groups.values():
-        meta0 = items[0][1]["meta"]
-        coords = _decode_grid(meta0["chunk_length"], max(1, int(upsample)))
-        fn = chunk_eval_fn(items[0][2], coords, items[0][4])
+        i0, p0, model0, _, fit0 = items[0]
+        meta0 = p0["meta"]
+        u = max(1, int(upsample))
+        coords = _decode_grid(meta0["chunk_length"], u)
+        fn = _cached_eval(p0, _eval_key(meta0, model0.name, u, fit0),
+                          lambda: chunk_eval_fn(model0, coords, fit0))
         cks = [int(p["meta"].get("num_channels", 1)) * p["meta"]["num_chunks"]
                for _, p, _, _, _ in items]
         cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
@@ -1096,6 +1103,34 @@ def _check_format(meta: dict[str, Any]) -> None:
 # payload dict (``payload.pop(_DEVICE_CACHE_KEY, None)`` frees the HBM).
 _DEVICE_CACHE_KEY = "_device_params"
 
+# Same lifetime/invalidaton story for the jitted per-chunk eval fn:
+# ``chunk_eval_fn`` wraps a FRESH ``jax.jit``/stacked closure per call, so
+# every decode retraced and re-lowered the whole vmapped eval — measured
+# 336 ms fresh vs 27 ms reused per call on the small-payload CPU drive —
+# which dominated seek/stream serving latency.  Entries are keyed on
+# everything the compiled fn depends on (model variant + recipe, grid,
+# decode tier), so metadata-edited dict copies rebuild instead of reusing
+# a stale executable.
+_EVAL_CACHE_KEY = "_eval_fns"
+
+
+def _cached_eval(payload: dict[str, Any], key: Any, build):
+    cache = payload.get(_EVAL_CACHE_KEY)
+    params = payload["params"]
+    if cache is None or cache[0] is not params:
+        cache = (params, {})
+        payload[_EVAL_CACHE_KEY] = cache
+    fn = cache[1].get(key)
+    if fn is None:
+        fn = cache[1][key] = build()
+    return fn
+
+
+def _eval_key(meta: dict[str, Any], model_name: str, upsample: int,
+              fit: float | None) -> tuple:
+    return (model_name, tuple(sorted(meta["model"].items())),
+            meta["chunk_length"], int(upsample), fit)
+
 
 def _payload_model_params(payload: dict[str, Any], fused: bool | None):
     """Validate the payload header and rebuild (meta, model, device params)
@@ -1147,12 +1182,15 @@ def decode_range(payload: dict[str, Any], start_s: float, stop_s: float,
     if meta.get("codec") == "modulated":
         _check_format(meta)
         coords = _decode_grid(meta["chunk_length"], 1)
-        fn, params = _modulated_decode_fn(payload, coords)
+        fn, params = _cached_eval(payload, ("modulated", 1),
+                                  lambda: _modulated_decode_fn(payload,
+                                                               coords))
     else:
         meta, model, params = _payload_model_params(payload, fused)
         coords = _decode_grid(meta["chunk_length"], 1)
         fit = _routing_fit_snr(meta)
-        fn = chunk_eval_fn(model, coords, fit)
+        fn = _cached_eval(payload, _eval_key(meta, model.name, 1, fit),
+                          lambda: chunk_eval_fn(model, coords, fit))
     sr = meta["sample_rate"]
     n0 = meta["chunk_length"]
     c = int(meta.get("num_channels", 1))
@@ -1179,10 +1217,13 @@ def decode_stream(payload: dict[str, Any], block_s: float = 1.0,
     coords = _decode_grid(meta["chunk_length"], 1)
     if meta.get("codec") == "modulated":
         _check_format(meta)
-        fn, params = _modulated_decode_fn(payload, coords)
+        fn, params = _cached_eval(payload, ("modulated", 1),
+                                  lambda: _modulated_decode_fn(payload,
+                                                               coords))
     else:
         _, model, params = _payload_model_params(payload, fused)
-        fn = chunk_eval_fn(model, coords)
+        fn = _cached_eval(payload, _eval_key(meta, model.name, 1, None),
+                          lambda: chunk_eval_fn(model, coords))
     c = int(meta.get("num_channels", 1))
     k = meta["num_chunks"]
     scales = np.asarray(payload["scales"], np.float32)

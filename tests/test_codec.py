@@ -990,27 +990,34 @@ def test_decode_device_param_cache(int8_payload):
     object and rebuilds when that object is replaced."""
     import jax
 
-    from inraudio_tpu.codec import _DEVICE_CACHE_KEY, decode_range
+    from inraudio_tpu.codec import (_DEVICE_CACHE_KEY, _EVAL_CACHE_KEY,
+                                    decode_range)
 
     sig, payload = int8_payload
     payload = dict(payload)  # keep the shared fixture's dict untouched
     payload.pop(_DEVICE_CACHE_KEY, None)
+    payload.pop(_EVAL_CACHE_KEY, None)
     fs1, rec1 = decode(payload)
     assert _DEVICE_CACHE_KEY in payload
     cached = payload[_DEVICE_CACHE_KEY]
+    fns = dict(payload[_EVAL_CACHE_KEY][1])
+    assert len(fns) == 1
     fs2, rec2 = decode(payload)
     assert payload[_DEVICE_CACHE_KEY] is cached  # reused, not rebuilt
+    assert payload[_EVAL_CACHE_KEY][1] == fns    # jitted eval reused too
     assert fs1 == fs2
     np.testing.assert_array_equal(rec1, rec2)
-    # a range decode rides the same cache and matches the full decode
+    # a range decode rides the same caches and matches the full decode
     _, sl = decode_range(payload, 0.05, 0.1)
     assert payload[_DEVICE_CACHE_KEY] is cached
+    assert payload[_EVAL_CACHE_KEY][1] == fns    # same key: tier + grid
     a, b = int(round(0.05 * fs1)), int(round(0.1 * fs1))
     np.testing.assert_allclose(sl, rec1[a:b], atol=1e-5)
-    # replacing the params object invalidates the cache
+    # replacing the params object invalidates both caches
     payload["params"] = jax.tree.map(lambda x: x, payload["params"])
     decode(payload)
     assert payload[_DEVICE_CACHE_KEY] is not cached
+    assert payload[_EVAL_CACHE_KEY][0] is payload["params"]
 
 
 def test_cli_decode_many(tmp_path, small_payload, int8_payload):
